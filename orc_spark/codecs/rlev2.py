@@ -1,0 +1,399 @@
+"""ORC RLEv2 integer codec — vectorized numpy encoder/decoder, from scratch.
+
+Wire format per the public ORC v1 spec ([ORCv1]) and probe-confirmed against
+liborc (SURVEY.md Appendix A/B):
+
+  SHORT_REPEAT  00WWWRRR                      W+1 value byte-width, R+3 repeats
+  DIRECT        01WWWWWL LLLLLLLL             closed 5-bit width, 9-bit len-1
+  PATCHED_BASE  10WWWWWL LLLLLLLL BBBPPPPP GGGNNNNN
+  DELTA         11WWWWWL LLLLLLLL             W=0 => fixed delta
+
+The decoder parses any conformant stream (validated against golden vectors cut
+from real liborc files in tests/test_rlev2_conformance.py). The encoder makes
+its sub-encoding decision per 512-value block with all statistics computed
+vectorized across blocks; only per-RUN header assembly touches Python ints
+(~n/512 iterations, never per value).
+
+`signed=False` streams skip zigzag (our own extension, recorded in our stripe
+footer; liborc int columns are always signed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitpack import (
+    bit_length,
+    closest_width,
+    decode_width,
+    encode_width,
+    pack,
+    pack_many,
+    packed_size,
+    unpack,
+    varpack_rows,
+)
+from .varint import (
+    read_svarint,
+    read_uvarint,
+    unzigzag,
+    write_svarint,
+    write_uvarint,
+    zigzag,
+)
+
+BLOCK = 512
+
+# LUTs over actual widths 0..64 -> closed width / 5-bit code (vectorized map).
+_CLOSED_LUT = np.array([closest_width(w) for w in range(65)], dtype=np.int64)
+_CODE_LUT = np.array([encode_width(closest_width(w)) for w in range(65)], dtype=np.int64)
+
+
+def _uvarint_len(u: np.ndarray) -> np.ndarray:
+    """Byte length of the LEB128 encoding, vectorized (uint64 in)."""
+    return np.maximum(1, (bit_length(u) + 6) // 7)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def encode_rlev2(arr, signed: bool = True) -> bytes:
+    a = np.ascontiguousarray(arr, dtype=np.int64)
+    n = len(a)
+    if n == 0:
+        return b""
+    nb = n // BLOCK
+    chunks: list[bytes] = []
+    if nb:
+        chunks.extend(_encode_full_blocks(a[: nb * BLOCK].reshape(nb, BLOCK), signed))
+    tail = a[nb * BLOCK :]
+    if len(tail):
+        chunks.append(_encode_block_scalar(tail, signed))
+    return b"".join(chunks)
+
+
+def _encode_full_blocks(M: np.ndarray, signed: bool) -> list[bytes]:
+    B = M.shape[0]
+    with np.errstate(over="ignore"):
+        zz = zigzag(M) if signed else M.view(np.uint64)
+
+        # --- DIRECT cost -------------------------------------------------
+        w_dir_act = bit_length(zz.max(axis=1))
+        w_dir = _CLOSED_LUT[w_dir_act]
+        cost_direct = 2 + 64 * w_dir  # 512*w/8
+
+        # --- DELTA eligibility + cost ------------------------------------
+        diffs = np.diff(M, axis=1)  # (B, 511)
+        dmin = diffs.min(axis=1)
+        dmax = diffs.max(axis=1)
+        fd = diffs[:, 0]
+        # int64-overflow guard: diffs only trustworthy when the block's value
+        # range fits in 63 bits (always true for int32-domain token streams)
+        range_ok = (M.max(axis=1).view(np.uint64) - M.min(axis=1).view(np.uint64)) < (
+            np.uint64(1) << np.uint64(63)
+        )
+        const_delta = (dmin == dmax) & range_ok
+        mono_ok = ((dmin >= 0) | ((dmax <= 0) & (fd < 0))) & range_ok
+        base_enc = zigzag(M[:, 0]) if signed else M[:, 0].view(np.uint64)
+        vl_base = _uvarint_len(base_enc)
+        vl_fd = _uvarint_len(zigzag(fd))
+        cost_delta_fixed = np.where(const_delta, 2 + vl_base + vl_fd, 1 << 30)
+
+        # delta-packed stats only for eligible blocks (lazy: monotone blocks
+        # are rare in token streams, and abs() over all diffs is a 60MB copy)
+        w_dp = np.zeros(B, dtype=np.int64)
+        cost_delta_packed = np.full(B, 1 << 30, dtype=np.int64)
+        dp_idx = np.nonzero(mono_ok & ~const_delta)[0]
+        if len(dp_idx):
+            dabs_max = np.abs(diffs[dp_idx, 1:]).view(np.uint64).max(axis=1)
+            w_dp[dp_idx] = _CLOSED_LUT[np.maximum(bit_length(dabs_max), 2)]  # width 1 invalid in DELTA
+            cost_delta_packed[dp_idx] = (
+                2 + vl_base[dp_idx] + vl_fd[dp_idx] + (510 * w_dp[dp_idx] + 7) // 8
+            )
+
+        # --- PATCHED_BASE estimate ---------------------------------------
+        base = M.min(axis=1)
+        reduced = (M.view(np.uint64) - base[:, None].view(np.uint64))  # exact range
+        blr = bit_length(reduced.reshape(-1)).reshape(B, BLOCK)
+        sbl = np.sort(blr, axis=1)
+        wp_raw = np.maximum(sbl[:, BLOCK - 32], 1)  # <=31 values strictly above
+        wp = _CLOSED_LUT[wp_raw]
+        w100 = sbl[:, -1]
+        npatch_est = (blr > wp[:, None]).sum(axis=1)
+        pw_est = _CLOSED_LUT[np.maximum(w100 - wp, 1)]
+        bw = np.minimum((bit_length(np.abs(base).view(np.uint64)) + 1 + 7) // 8, 8)
+        bw = np.maximum(bw, 1)
+        cfb_est = _CLOSED_LUT[np.minimum(8 + pw_est, 64)]
+        cost_patched = np.where(
+            (w100 > wp)
+            & (npatch_est > 0)
+            & (npatch_est <= 31)
+            & (wp + pw_est <= 64)
+            & (base > np.iinfo(np.int64).min),  # abs(base) must not overflow
+            4 + bw + 64 * wp + (npatch_est * cfb_est + 7) // 8,
+            1 << 30,
+        )
+
+        costs = np.stack([cost_delta_fixed, cost_delta_packed, cost_direct, cost_patched])
+        choice = np.argmin(costs, axis=0)
+
+    out: list[bytes | None] = [None] * B
+
+    # DIRECT: group by width, one pack call per width
+    dir_idx = np.nonzero(choice == 2)[0]
+    if len(dir_idx):
+        for w in np.unique(w_dir[dir_idx]):
+            idx = dir_idx[w_dir[dir_idx] == w]
+            hdr = bytes([0x40 | (encode_width(int(w)) << 1) | 1, 0xFF])
+            for i, body in zip(idx, pack_many(zz[idx], int(w))):
+                out[i] = hdr + body
+
+    # DELTA fixed
+    for i in np.nonzero(choice == 0)[0]:
+        buf = bytearray([0xC0 | 1, 0xFF])
+        _write_base(buf, int(M[i, 0]), signed)
+        write_svarint(buf, int(fd[i]))
+        out[i] = bytes(buf)
+
+    # DELTA packed
+    for i in np.nonzero(choice == 1)[0]:
+        w = int(w_dp[i])
+        buf = bytearray([0xC0 | (encode_width(w) << 1) | 1, 0xFF])
+        _write_base(buf, int(M[i, 0]), signed)
+        write_svarint(buf, int(fd[i]))
+        body = pack(np.abs(diffs[i, 1:]).view(np.uint64), w)
+        out[i] = bytes(buf) + body
+
+    # PATCHED_BASE — fully vectorized across blocks: per-block widths/gaps via
+    # reduceat over one flat nonzero pass, low bits via pack_many per width
+    # group, patch entries via one varpack_rows call. The final loop only
+    # concatenates precomputed byte slices.
+    pat_idx = np.nonzero(choice == 3)[0]
+    if len(pat_idx):
+        with np.errstate(over="ignore"):
+            blrP = blr[pat_idx]
+            wpP = wp[pat_idx]
+            maskP = blrP > wpP[:, None]
+            counts = maskP.sum(axis=1)
+            rows, cols = np.nonzero(maskP)
+            starts = np.zeros(len(pat_idx), dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            prev = np.empty_like(cols)
+            prev[1:] = cols[:-1]
+            prev[starts] = 0  # first patch's gap is its absolute index
+            gaps = (cols - prev).astype(np.uint64)
+            redP = reduced[pat_idx]
+            pv = redP[rows, cols] >> wpP[rows].astype(np.uint64)
+            # gaps > 255 don't fit the 8-bit gap field: split with (255, 0)
+            # dummy entries, exactly as the ORC writer does
+            if bool((gaps > 255).any()):
+                ndum = np.maximum(
+                    (gaps.astype(np.int64) - 1) // 255, 0
+                )
+                e = ndum + 1
+                ecum = np.cumsum(e) - e
+                tot = int(e.sum())
+                idx = np.repeat(np.arange(len(gaps)), e)
+                pos_in = np.arange(tot) - np.repeat(ecum, e)
+                last = pos_in == np.repeat(ndum, e)
+                gaps = np.where(
+                    last, gaps[idx] - np.uint64(255) * ndum[idx].astype(np.uint64),
+                    np.uint64(255),
+                )
+                pv = np.where(last, pv[idx], np.uint64(0))
+                rows = rows[idx]
+                counts = np.add.reduceat(e, starts)
+                starts = np.zeros(len(pat_idx), dtype=np.int64)
+                starts[1:] = np.cumsum(counts)[:-1]
+            maxgap = np.maximum.reduceat(gaps, starts)
+            pw = _CLOSED_LUT[np.maximum(np.maximum.reduceat(bit_length(pv), starts), 1)]
+            pgw = np.maximum(bit_length(maxgap), 1)
+            ok = (counts <= 31) & (wpP + pw <= 64) & (pgw <= 8)
+            # ineligible rows (gap needs dummy entries / width overflow): DIRECT
+            for k in np.nonzero(~ok)[0]:
+                i = pat_idx[k]
+                w = int(w_dir[i])
+                hdr = bytes([0x40 | (encode_width(w) << 1) | 1, 0xFF])
+                out[i] = hdr + pack(zz[i], w)
+            okk = np.nonzero(ok)[0]
+            if len(okk):
+                sel_entries = ok[rows]  # keep only entries of ok rows
+                cfb = _CLOSED_LUT[pgw + pw]
+                entries = (gaps << np.repeat(pw, counts).astype(np.uint64)) | pv
+                eblob, eoff, elen = varpack_rows(
+                    entries[sel_entries], counts[okk], cfb[okk]
+                )
+                # pack() masks to width, so the patched high bits drop out
+                # without a separate lowP = reduced & mask pass
+                lowSel = redP[okk]
+                low_chunks: dict[int, bytes] = {}
+                for w in np.unique(wpP[okk]):
+                    g = np.nonzero(wpP[okk] == w)[0]
+                    for gi, body in zip(g, pack_many(lowSel[g], int(w))):
+                        low_chunks[int(gi)] = body
+                # headers (4 bytes) vectorized
+                bwP = bw[pat_idx][okk]
+                hdrs = np.empty((len(okk), 4), dtype=np.uint8)
+                hdrs[:, 0] = 0x80 | (_CODE_LUT[wpP[okk]] << 1) | 1
+                hdrs[:, 1] = 0xFF
+                hdrs[:, 2] = ((bwP - 1) << 5) | _CODE_LUT[pw[okk]]
+                hdrs[:, 3] = ((pgw[okk] - 1) << 5) | counts[okk]
+                # base bytes: big-endian magnitude, MSB = sign
+                baseP = base[pat_idx][okk]
+                mag = np.abs(baseP).astype(">u8").view(np.uint8).reshape(-1, 8)
+                neg = np.nonzero(baseP < 0)[0]
+                mag = mag.copy()
+                mag[neg, 8 - bwP[neg]] |= 0x80
+                for k in range(len(okk)):
+                    i = pat_idx[okk[k]]
+                    bwk = int(bwP[k])
+                    out[i] = (
+                        hdrs[k].tobytes()
+                        + mag[k, 8 - bwk :].tobytes()
+                        + low_chunks[k]
+                        + eblob[eoff[k] : eoff[k] + elen[k]]
+                    )
+
+    return out  # type: ignore[return-value]
+
+
+def _write_base(buf: bytearray, base: int, signed: bool) -> None:
+    if signed:
+        write_svarint(buf, base)
+    else:
+        write_uvarint(buf, base)
+
+
+def _encode_block_scalar(block: np.ndarray, signed: bool) -> bytes:
+    """Tail blocks (< 512 values) and tiny arrays."""
+    L = len(block)
+    vals = block.astype(np.int64, copy=False)
+    with np.errstate(over="ignore"):
+        zz = zigzag(vals) if signed else vals.view(np.uint64)
+        range_ok = (
+            int(vals.max()) - int(vals.min()) < 1 << 63 if L else True
+        )
+        if L >= 3 and range_ok and (vals == vals[0]).all():
+            if L <= 10:
+                # SHORT_REPEAT
+                v = int(zz[0])
+                w = max(1, (int(bit_length(np.array([v], dtype=np.uint64))[0]) + 7) // 8)
+                hdr = ((w - 1) << 3) | (L - 3)
+                return bytes([hdr]) + v.to_bytes(w, "big")
+            buf = bytearray([0xC0 | ((L - 1) >> 8), (L - 1) & 0xFF])
+            _write_base(buf, int(vals[0]), signed)
+            write_svarint(buf, 0)
+            return bytes(buf)
+        if L >= 3 and range_ok:
+            diffs = np.diff(vals)
+            if diffs.min() == diffs.max():
+                buf = bytearray([0xC0 | ((L - 1) >> 8), (L - 1) & 0xFF])
+                _write_base(buf, int(vals[0]), signed)
+                write_svarint(buf, int(diffs[0]))
+                return bytes(buf)
+            if (diffs >= 0).all() or ((diffs <= 0).all() and diffs[0] < 0):
+                dabs = np.abs(diffs[1:]).view(np.uint64)
+                w = closest_width(max(2, int(bit_length(dabs).max()) if len(dabs) else 2))
+                w_dir = closest_width(max(1, int(bit_length(zz).max())))
+                cost_delta = 4 + (max(0, L - 2) * w + 7) // 8
+                cost_dir = 2 + (L * w_dir + 7) // 8
+                if cost_delta < cost_dir:
+                    buf = bytearray(
+                        [0xC0 | (encode_width(w) << 1) | ((L - 1) >> 8), (L - 1) & 0xFF]
+                    )
+                    _write_base(buf, int(vals[0]), signed)
+                    write_svarint(buf, int(diffs[0]))
+                    return bytes(buf) + pack(dabs, w)
+        # DIRECT fallback
+        w = closest_width(max(1, int(bit_length(zz).max())))
+        hdr = bytes([0x40 | (encode_width(w) << 1) | ((L - 1) >> 8), (L - 1) & 0xFF])
+        return hdr + pack(zz, w)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def decode_rlev2(buf, n: int, signed: bool = True) -> np.ndarray:
+    """Decode `n` int64 values from an RLEv2 stream (ours or liborc's)."""
+    out = np.empty(n, dtype=np.int64)
+    mv = memoryview(buf)
+    i = 0
+    filled = 0
+    with np.errstate(over="ignore"):
+        while filled < n:
+            hdr = mv[i]
+            kind = hdr >> 6
+            if kind == 0:  # SHORT_REPEAT
+                w = ((hdr >> 3) & 7) + 1
+                rep = (hdr & 7) + 3
+                v = int.from_bytes(mv[i + 1 : i + 1 + w], "big")
+                if signed:
+                    v = (v >> 1) ^ -(v & 1)
+                out[filled : filled + rep] = v
+                filled += rep
+                i += 1 + w
+            elif kind == 1:  # DIRECT
+                w = decode_width((hdr >> 1) & 0x1F)
+                L = (((hdr & 1) << 8) | mv[i + 1]) + 1
+                i += 2
+                nbytes = packed_size(L, w)
+                vals = unpack(mv[i : i + nbytes], L, w)
+                i += nbytes
+                out[filled : filled + L] = unzigzag(vals) if signed else vals.view(np.int64)
+                filled += L
+            elif kind == 3:  # DELTA
+                wcode = (hdr >> 1) & 0x1F
+                L = (((hdr & 1) << 8) | mv[i + 1]) + 1
+                i += 2
+                if signed:
+                    base, i = read_svarint(mv, i)
+                else:
+                    base, i = read_uvarint(mv, i)
+                fd, i = read_svarint(mv, i)
+                if wcode == 0:
+                    seg = base + fd * np.arange(L, dtype=np.int64)
+                else:
+                    w = decode_width(wcode)
+                    nbytes = packed_size(L - 2, w)
+                    d = unpack(mv[i : i + nbytes], L - 2, w).view(np.int64)
+                    i += nbytes
+                    sign = -1 if fd < 0 else 1
+                    deltas = np.empty(L - 1, dtype=np.int64)
+                    deltas[0] = fd
+                    deltas[1:] = sign * d
+                    seg = np.empty(L, dtype=np.int64)
+                    seg[0] = base
+                    seg[1:] = base + np.cumsum(deltas)
+                out[filled : filled + L] = seg
+                filled += L
+            else:  # PATCHED_BASE
+                w = decode_width((hdr >> 1) & 0x1F)
+                L = (((hdr & 1) << 8) | mv[i + 1]) + 1
+                bw = ((mv[i + 2] >> 5) & 7) + 1
+                pw = decode_width(mv[i + 2] & 0x1F)
+                pgw = ((mv[i + 3] >> 5) & 7) + 1
+                pll = mv[i + 3] & 0x1F
+                i += 4
+                raw = int.from_bytes(mv[i : i + bw], "big")
+                msb = 1 << (bw * 8 - 1)
+                base = -(raw & (msb - 1)) if raw & msb else raw
+                i += bw
+                nbytes = packed_size(L, w)
+                vals = unpack(mv[i : i + nbytes], L, w)
+                i += nbytes
+                if pll:
+                    cfb = closest_width(pgw + pw)
+                    pbytes = packed_size(pll, cfb)
+                    entries = unpack(mv[i : i + pbytes], pll, cfb)
+                    i += pbytes
+                    gaps = (entries >> np.uint64(pw)).astype(np.int64)
+                    patches = entries & ((np.uint64(1) << np.uint64(pw)) - np.uint64(1))
+                    pos = np.cumsum(gaps)
+                    vals[pos] |= patches << np.uint64(w)
+                out[filled : filled + L] = vals.view(np.int64) + np.int64(base)
+                filled += L
+    if filled != n:
+        raise ValueError(f"RLEv2 stream decoded {filled} values, expected {n}")
+    return out
