@@ -1,0 +1,57 @@
+"""Codec auto-selection — the 'optimizer' of this engine (SURVEY.md §2.4).
+
+Decisions mirror the reference ORC writer's observed heuristics (SURVEY.md
+[PROBE-1/2], gathered from liborc since /root/reference is empty):
+
+- integers: RLEv2, never dictionary (liborc keeps every int probe DIRECT_V2).
+  The per-<=512-run sub-encoding choice (short-repeat / direct / delta /
+  patched-base) happens inside the RLEv2 encoder from run statistics, exactly
+  as ORC's writer does. The standalone 'bitpack' and 'for' codecs are exposed
+  and selectable, but cannot beat RLEv2 by more than the 2-byte run headers:
+  RLEv2-DIRECT *is* bit-packing per 512 values, and PATCHED_BASE *is*
+  frame-of-reference with outlier patching — so the default policy is 'rle2'
+  and the others exist for completeness/benchmarking (BASELINE.json:14 names
+  all of them as menu entries).
+- strings: dictionary when distinct/total <= 0.8 (the Java ORC writer default
+  `orc.dictionary.key.threshold=0.8`, probe-confirmed: 4-distinct strings
+  dictionary-encode, 50k-distinct do not), else direct. FSST (our addition)
+  is turned on when a sample compresses below 90%.
+- every encoded stream then passes through maybe_compress (zstd) and keeps
+  the wrapper only if it shrinks — the same role as ORC's block compression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .codecs import fsst
+
+DICT_THRESHOLD = 0.8
+FSST_GAIN = 0.90
+FSST_SAMPLE = 1 << 14
+
+
+def choose_int(arr: np.ndarray) -> dict:
+    """Integer stream plan: codec + signedness (unsigned saves a zigzag bit)."""
+    signed = bool(len(arr)) and int(arr.min()) < 0
+    return {"codec": "rle2", "signed": signed}
+
+
+def choose_string(n: int, n_distinct: int, sample: bytes) -> dict:
+    """String column plan from cardinality + a byte sample."""
+    use_dict = n > 0 and (n_distinct / n) <= DICT_THRESHOLD
+    return {
+        "encoding": "dictionary" if use_dict else "direct",
+        "fsst": fsst_worthwhile(sample),
+    }
+
+
+def fsst_worthwhile(sample: bytes) -> bool:
+    if len(sample) < 256:
+        return False
+    sample = sample[:FSST_SAMPLE]
+    table = fsst.train(sample)
+    if not table:
+        return False
+    enc = fsst.compress(sample, table)
+    return len(enc) < len(sample) * FSST_GAIN

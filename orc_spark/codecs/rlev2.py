@@ -318,7 +318,7 @@ def _encode_block_scalar(block: np.ndarray, signed: bool) -> bytes:
 def decode_rlev2(buf, n: int, signed: bool = True) -> np.ndarray:
     """Decode `n` int64 values from an RLEv2 stream (ours or liborc's)."""
     out = np.empty(n, dtype=np.int64)
-    mv = memoryview(buf)
+    mv = memoryview(buf).cast("B")  # pa.Buffer memoryviews are signed by default
     i = 0
     filled = 0
     with np.errstate(over="ignore"):

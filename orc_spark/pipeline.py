@@ -1,0 +1,288 @@
+"""Spark pipeline: salted repartition -> mapInArrow encode -> Iceberg-emulated
+commit; mirror decode path; round-trip verifier.
+
+Physical plan (SURVEY.md §3.3) — one shuffle total:
+
+  scan (parquet, column-pruned by Catalyst)
+    -> repartition(N, pid)            pid = source + '#' + xxhash64(doc_id)%S
+    -> sortWithinPartitions(pid, doc_id)      deterministic stripe content
+    -> mapInArrow(encode)             numpy codecs per Arrow batch; each task
+                                      streams finished stripes straight into
+                                      per-pid parquet files (temp + atomic
+                                      rename; idempotent under task retry)
+    -> collect tiny metadata rows -> manifest commit (driver)
+
+Scale notes (designed for 10^12 rows / 1000 executors, tested on local[32]):
+- the salt spreads each source over S buckets, defusing long-token-array skew
+  (BASELINE.json:6); choose S so a bucket is a few GB: S ~ total_bytes /
+  (n_sources * 4GiB).
+- executors write data files directly (no second shuffle, no driver funnel);
+  only O(#partitions) metadata rows cross to the driver, like an Iceberg
+  commit.
+- stripes are flushed by token count, so blob sizes stay uniform despite
+  skewed document lengths; worker memory is bounded by one stripe + one
+  Arrow batch regardless of partition size (streaming ParquetWriter).
+- decode is the mirror image and prunes columns at the stream level (only
+  requested columns' bytes are decompressed).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .stripe import decode_stripe, encode_stripe, footer_from_json, footer_to_json
+from .warehouse import Warehouse
+
+META_SCHEMA = (
+    "pid string, file string, stripes long, n_rows long, n_tokens long, "
+    "enc_bytes long, encode_s double, min_doc_id string, max_doc_id string"
+)
+
+STRIPE_FILE_SCHEMA = pa.schema(
+    [
+        ("pid", pa.string()),
+        ("stripe_id", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("blob", pa.large_binary()),
+        ("footer", pa.string()),
+    ]
+)
+
+DEFAULT_STRIPE_TOKENS = 4_000_000  # ~8 MB encoded per stripe at ~2 B/token
+
+
+def with_pid(df: DataFrame, salt_buckets: int) -> DataFrame:
+    """Logical partition id: explicit salt on (source, doc_id) (BASELINE.json:6)."""
+    return df.withColumn(
+        "pid",
+        F.concat_ws(
+            "#", F.col("source"), F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets)).cast("string")
+        ),
+    )
+
+
+class _PidWriter:
+    """Streams one pid's stripes into its snapshot data file (tmp + rename)."""
+
+    def __init__(self, warehouse_path: str, snapshot: str, pid: str):
+        self.pid = pid
+        self.final = Warehouse(warehouse_path).data_file(pid, snapshot)
+        os.makedirs(os.path.dirname(self.final), exist_ok=True)
+        self.tmp = self.final + f".inprogress-{uuid.uuid4().hex[:8]}"
+        self.writer = pq.ParquetWriter(self.tmp, STRIPE_FILE_SCHEMA, compression="none")
+        self.stripes = 0
+        self.n_rows = 0
+        self.n_tokens = 0
+        self.enc_bytes = 0
+        self.min_doc = None
+        self.max_doc = None
+        self.t0 = time.perf_counter()
+
+    def write_stripe(self, tbl: pa.Table) -> None:
+        data = tbl.drop_columns(["pid"])
+        blob, footer = encode_stripe(data)
+        n_tok = int(footer["columns"].get("tokens", {}).get("stats", {}).get("n_values", 0))
+        row = pa.record_batch(
+            [
+                pa.array([self.pid]),
+                pa.array([self.stripes], type=pa.int64()),
+                pa.array([tbl.num_rows], type=pa.int64()),
+                pa.array([n_tok], type=pa.int64()),
+                pa.array([len(blob)], type=pa.int64()),
+                pa.array([blob], type=pa.large_binary()),
+                pa.array([footer_to_json(footer)]),
+            ],
+            schema=STRIPE_FILE_SCHEMA,
+        )
+        self.writer.write_batch(row)
+        self.stripes += 1
+        self.n_rows += tbl.num_rows
+        self.n_tokens += n_tok
+        self.enc_bytes += len(blob)
+        ids = tbl.column("doc_id")
+        lo, hi = str(ids[0]), str(ids[-1])
+        self.min_doc = lo if self.min_doc is None else min(self.min_doc, lo)
+        self.max_doc = hi if self.max_doc is None else max(self.max_doc, hi)
+
+    def close(self) -> dict:
+        self.writer.close()
+        os.replace(self.tmp, self.final)  # atomic: file is complete or absent
+        return {
+            "pid": self.pid,
+            "file": self.final,
+            "stripes": self.stripes,
+            "n_rows": self.n_rows,
+            "n_tokens": self.n_tokens,
+            "enc_bytes": self.enc_bytes,
+            "encode_s": time.perf_counter() - self.t0,
+            "min_doc_id": self.min_doc or "",
+            "max_doc_id": self.max_doc or "",
+        }
+
+
+def _make_encoder(warehouse_path: str, snapshot: str, stripe_tokens: int):
+    def encode_partition(batches):
+        cur_pid: str | None = None
+        writer: _PidWriter | None = None
+        buf: list[pa.RecordBatch] = []
+        buf_tokens = 0
+        metas: list[dict] = []
+
+        def flush_stripe():
+            nonlocal buf, buf_tokens
+            if buf:
+                writer.write_stripe(pa.Table.from_batches(buf))
+                buf, buf_tokens = [], 0
+
+        def close_pid():
+            nonlocal writer
+            if writer is not None:
+                flush_stripe()
+                metas.append(writer.close())
+                writer = None
+
+        for batch in batches:
+            pids = np.asarray(batch.column("pid"))
+            # split the batch at pid boundaries (rows arrive sorted by pid)
+            bounds = np.nonzero(pids[1:] != pids[:-1])[0] + 1
+            starts = np.r_[0, bounds]
+            ends = np.r_[bounds, len(pids)]
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                pid = str(pids[s])
+                if pid != cur_pid:
+                    close_pid()
+                    cur_pid = pid
+                    writer = _PidWriter(warehouse_path, snapshot, pid)
+                sl = batch.slice(s, e - s)
+                buf.append(sl)
+                buf_tokens += int(
+                    np.asarray(sl.column("n_tok"), dtype=np.int64).sum()
+                )
+                if buf_tokens >= stripe_tokens:
+                    flush_stripe()
+        close_pid()
+        if metas:
+            yield pa.RecordBatch.from_pylist(metas)
+
+    return encode_partition
+
+
+def encode_table(
+    spark: SparkSession,
+    df: DataFrame,
+    warehouse_path: str,
+    snapshot: str,
+    salt_buckets: int = 32,
+    stripe_tokens: int = DEFAULT_STRIPE_TOKENS,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Encode a (doc_id, tokens, n_tok, source) DataFrame into the warehouse;
+    returns the committed manifest. Resumable: committed partitions are
+    skipped, complete-but-uncommitted files from a killed run are adopted."""
+    wh = Warehouse(warehouse_path)
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    dfp = with_pid(df, salt_buckets)
+
+    committed = wh.committed_pids(snapshot) if resume else set()
+    if resume:
+        adopted = {}
+        for pid, f in wh.orphan_files(snapshot).items():
+            v = wh.validate_data_file(f)
+            if v is not None:
+                adopted[pid] = {**v, "file": f, "adopted": True, "encode_s": 0.0}
+        if adopted:
+            wh.commit(snapshot, adopted, schema)
+            committed |= set(adopted)
+    if committed:
+        if len(committed) <= 1000:
+            dfp = dfp.filter(~F.col("pid").isin(*committed))
+        else:
+            skip = spark.createDataFrame([(p,) for p in committed], "pid string")
+            dfp = dfp.join(F.broadcast(skip), "pid", "left_anti")
+
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    meta_df = (
+        dfp.repartition(num_partitions, "pid")
+        .sortWithinPartitions("pid", "doc_id")
+        .mapInArrow(_make_encoder(warehouse_path, snapshot, stripe_tokens), META_SCHEMA)
+    )
+    rows = meta_df.collect()
+    partitions = {r["pid"]: r.asDict() for r in rows}
+    for p in partitions.values():
+        p["tokens_per_s"] = p["n_tokens"] / p["encode_s"] if p["encode_s"] else None
+    return wh.commit(snapshot, partitions, schema)
+
+
+_ARROW_TO_SPARK = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "string": "string",
+    "large_string": "string",
+}
+
+
+def _spark_type_str(t: str) -> str:
+    if t in _ARROW_TO_SPARK:
+        return _ARROW_TO_SPARK[t]
+    if t.startswith("list") or t.startswith("large_list"):
+        return "array<int>"
+    if t.startswith("array"):  # spark simpleString already
+        return t
+    return t
+
+
+def decode_table(
+    spark: SparkSession,
+    warehouse_path: str,
+    snapshot: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read committed stripes back into the original rows. Column projection
+    prunes at the stream level (untouched columns are never decompressed)."""
+    wh = Warehouse(warehouse_path)
+    snapshot = snapshot or wh.current_snapshot_id()
+    manifest = wh.read_manifest(snapshot)
+    files = wh.committed_files(snapshot)
+    if not files:
+        raise ValueError(f"no committed files for snapshot {snapshot}")
+    schema = manifest["schema"]
+    names = columns or list(schema.keys())
+    out_schema = ", ".join(f"{n} {_spark_type_str(schema[n])}" for n in names)
+
+    def decode_partition(batches):
+        for batch in batches:
+            blobs = batch.column("blob")
+            footers = batch.column("footer")
+            for i in range(batch.num_rows):
+                footer = footer_from_json(str(footers[i]))
+                rb = decode_stripe(
+                    blobs[i].as_buffer(), footer, columns=names
+                )
+                yield rb
+
+    sdf = spark.read.parquet(*files).select("blob", "footer")
+    return sdf.mapInArrow(decode_partition, out_schema)
+
+
+def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> dict:
+    """Bit-equality gate (BASELINE.json:15): per-row token-array equality via
+    symmetric exceptAll — the probe-verified pattern (SURVEY.md [PROBE-4])."""
+    cols = decoded.columns
+    a = original.select(*cols)
+    b = decoded.select(*cols)
+    missing = a.exceptAll(b).count()
+    extra = b.exceptAll(a).count()
+    return {"missing": missing, "extra": extra, "ok": missing == 0 and extra == 0}

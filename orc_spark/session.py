@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for the encode pipeline.
+
+local[N] in this sandbox; the same settings scale to a multi-executor cluster
+(partition counts and Arrow batch sizes are what matter — see pipeline.py for
+the scale notes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 8192  # ~3.4M tokens/batch at the canonical length mix
+
+
+def get_spark(
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "orc_spark",
+) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+    # make orc_spark importable in executor Python workers (local mode inherits
+    # the driver env; on a cluster use spark-submit --py-files engine.zip)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .getOrCreate()
+    )

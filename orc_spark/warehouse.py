@@ -1,0 +1,136 @@
+"""Iceberg-emulated warehouse: data files + JSON snapshot/manifest commit log.
+
+There is no Iceberg runtime in this sandbox (zero iceberg jars, network
+blocked — SURVEY.md [PROBE-4]), so the Iceberg surface the north rule names
+(BASELINE.json:6,14) is emulated with the same commit semantics Iceberg uses:
+
+  warehouse/
+    data/pid=<pid>/snap-<snapshot>.parquet   one file per logical partition,
+                                             written by executors via
+                                             temp-file + atomic rename
+    manifests/snap-<snapshot>.json           manifest: per-partition lineage
+                                             + encode metrics (committed
+                                             atomically after the job)
+    manifests/CURRENT                        pointer to the latest snapshot
+
+Resumability (BASELINE.json:6 "resumes from its last committed checkpoint"):
+- a partition is COMMITTED when it appears in a manifest;
+- executors write data files idempotently (deterministic content, atomic
+  rename), so task retries are safe;
+- on resume, completed-but-uncommitted data files from a killed run are
+  ADOPTED after validation (footer check) — only truly missing partitions
+  re-encode. This is file-level recovery on top of Iceberg-style snapshots.
+
+At 10^12-sequence scale the manifest stays driver-sized: one entry per logical
+partition (e.g. 20k partitions x ~200 bytes), exactly like an Iceberg manifest
+list; per-file stats live in the stripe footers inside the data files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+
+class Warehouse:
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.manifest_dir = os.path.join(path, "manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def data_file(self, pid: str, snapshot: str) -> str:
+        return os.path.join(self.data_dir, f"pid={pid}", f"snap-{snapshot}.parquet")
+
+    def manifest_file(self, snapshot: str) -> str:
+        return os.path.join(self.manifest_dir, f"snap-{snapshot}.json")
+
+    # -- snapshot log -----------------------------------------------------
+    def current_snapshot_id(self) -> str | None:
+        cur = os.path.join(self.manifest_dir, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        return open(cur).read().strip()
+
+    def read_manifest(self, snapshot: str) -> dict | None:
+        f = self.manifest_file(snapshot)
+        if not os.path.exists(f):
+            return None
+        return json.load(open(f))
+
+    def commit(self, snapshot: str, partitions: dict[str, dict], schema: dict, extra: dict | None = None) -> dict:
+        """Atomically (tmp+rename) write the manifest and advance CURRENT.
+
+        `partitions` maps pid -> {file, n_rows, n_tokens, enc_bytes, metrics…}
+        (the per-partition lineage + throughput rows the rule requires).
+        Idempotent per (snapshot, pid): re-commits merge by pid.
+        """
+        manifest = self.read_manifest(snapshot) or {
+            "snapshot_id": snapshot,
+            "parent": self.current_snapshot_id(),
+            "schema": schema,
+            "created_at": time.time(),
+            "partitions": {},
+        }
+        manifest["partitions"].update(partitions)
+        manifest["committed_at"] = time.time()
+        if extra:
+            manifest.update(extra)
+        fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self.manifest_file(snapshot))
+        fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(snapshot)
+        os.replace(tmp, os.path.join(self.manifest_dir, "CURRENT"))
+        return manifest
+
+    def committed_pids(self, snapshot: str) -> set[str]:
+        m = self.read_manifest(snapshot)
+        return set(m["partitions"].keys()) if m else set()
+
+    # -- recovery ---------------------------------------------------------
+    def orphan_files(self, snapshot: str) -> dict[str, str]:
+        """Data files for this snapshot present on disk but not committed —
+        survivors of a killed run (rename is atomic, so they are complete)."""
+        committed = self.committed_pids(snapshot)
+        out = {}
+        if not os.path.isdir(self.data_dir):
+            return out
+        for d in os.listdir(self.data_dir):
+            if not d.startswith("pid="):
+                continue
+            pid = d[4:]
+            f = self.data_file(pid, snapshot)
+            if pid not in committed and os.path.exists(f):
+                out[pid] = f
+        return out
+
+    def validate_data_file(self, path: str) -> dict | None:
+        """Adopt-check for orphans: parquet readable, stripe rows well-formed.
+        Returns summary metrics or None if invalid."""
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path, columns=["pid", "n_rows", "n_tokens", "enc_bytes"])
+            if t.num_rows == 0:
+                return None
+            return {
+                "n_rows": int(sum(t.column("n_rows").to_pylist())),
+                "n_tokens": int(sum(t.column("n_tokens").to_pylist())),
+                "enc_bytes": int(sum(t.column("enc_bytes").to_pylist())),
+                "stripes": t.num_rows,
+            }
+        except Exception:
+            return None
+
+    def committed_files(self, snapshot: str) -> list[str]:
+        m = self.read_manifest(snapshot)
+        if not m:
+            return []
+        return [p["file"] for p in m["partitions"].values()]

@@ -1,0 +1,109 @@
+"""End-to-end Spark pipeline: encode -> warehouse -> decode -> bit-equality,
+plus checkpoint/resume semantics (committed partitions skipped, orphan files
+from a killed run adopted, only missing partitions re-encoded)."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from orc_spark.fixtures import tokens_arrow
+from orc_spark.pipeline import decode_table, encode_table, verify_roundtrip
+from orc_spark.warehouse import Warehouse
+
+N_DOCS = 600
+SALT = 4
+
+
+@pytest.fixture(scope="module")
+def input_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("input")
+    pq.write_table(tokens_arrow(N_DOCS), str(p / "part-0.parquet"))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, input_path, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    df = spark.read.parquet(input_path)
+    manifest = encode_table(spark, df, wh, snapshot="s1", salt_buckets=SALT, stripe_tokens=100_000)
+    return wh, df, manifest
+
+
+def test_roundtrip_bit_equality(spark, encoded):
+    wh, df, _ = encoded
+    res = verify_roundtrip(df, decode_table(spark, wh))
+    assert res == {"missing": 0, "extra": 0, "ok": True}
+
+
+def test_manifest_lineage_and_metrics(encoded):
+    wh, _, manifest = encoded
+    assert manifest["snapshot_id"] == "s1"
+    total = 0
+    for pid, p in manifest["partitions"].items():
+        assert p["file"].startswith(wh)
+        assert os.path.exists(p["file"])
+        assert p["n_tokens"] > 0 and p["enc_bytes"] > 0
+        assert p["min_doc_id"] <= p["max_doc_id"]  # lineage: input row range
+        assert p["tokens_per_s"] is None or p["tokens_per_s"] > 0
+        total += p["n_rows"]
+    assert total == N_DOCS
+
+
+def test_size_gate_e2e(encoded):
+    _, _, manifest = encoded
+    ntok = sum(p["n_tokens"] for p in manifest["partitions"].values())
+    nbytes = sum(p["enc_bytes"] for p in manifest["partitions"].values())
+    assert nbytes / ntok <= 1.469
+
+
+def test_projection_decode(spark, encoded):
+    wh, df, _ = encoded
+    dec = decode_table(spark, wh, columns=["doc_id", "n_tok"])
+    assert dec.columns == ["doc_id", "n_tok"]
+    assert dec.count() == N_DOCS
+
+
+def test_resume_skips_committed_and_adopts_orphans(spark, encoded, tmp_path):
+    """Simulate a killed run: some partitions committed, some written but not
+    committed (orphans), some missing. Resume must re-encode ONLY the missing
+    ones, adopt orphans, and produce identical output."""
+    wh1, df, m1 = encoded
+    wh2 = str(tmp_path / "wh2")
+    w2 = Warehouse(wh2)
+    pids = sorted(m1["partitions"].keys())
+    committed, orphaned = pids[: len(pids) // 3], pids[len(pids) // 3 : 2 * len(pids) // 3]
+    pre = {}
+    for pid in committed + orphaned:
+        src = m1["partitions"][pid]["file"]
+        dst = w2.data_file(pid, "s1")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy(src, dst)
+        if pid in committed:
+            pre[pid] = {**m1["partitions"][pid], "file": dst, "encode_s": -1.0}
+    w2.commit("s1", pre, m1["schema"])
+
+    m2 = encode_table(spark, df, wh2, snapshot="s1", salt_buckets=SALT, stripe_tokens=100_000)
+
+    assert set(m2["partitions"]) == set(pids)
+    for pid in committed:  # untouched: our sentinel survives
+        assert m2["partitions"][pid]["encode_s"] == -1.0
+    for pid in orphaned:  # adopted, not re-encoded
+        assert m2["partitions"][pid].get("adopted") is True
+    res = verify_roundtrip(df, decode_table(spark, wh2))
+    assert res["ok"]
+
+
+def test_second_snapshot_has_parent(spark, encoded):
+    wh, df, _ = encoded
+    m2 = encode_table(spark, df, wh, snapshot="s2", salt_buckets=SALT, stripe_tokens=100_000)
+    assert m2["parent"] == "s1"
+    assert Warehouse(wh).current_snapshot_id() == "s2"
+
+
+def test_manifest_is_valid_json_on_disk(encoded):
+    wh, _, _ = encoded
+    m = json.load(open(Warehouse(wh).manifest_file("s1")))
+    assert m["partitions"]
