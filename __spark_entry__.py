@@ -1,38 +1,339 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)`  — flagship: encode→decode→bit-equality-verify the tokens
+                  table derived from sf0.001 documents; returns per-partition
+                  lineage+metrics rows (SURVEY.md §3.3).
+`queries()`     — one entry per operator family from SURVEY.md §2 plus the
+                  training-data ops (dedup / similarity / text analysis /
+                  multimodal plumbing).
+`oracle_sql()`  — exactly-equivalent DuckDB SQL for every SQL-expressible
+                  query. Cross-engine exactness rules used throughout:
+                  * all hashing is md5-prefix (identical in both engines);
+                  * double ratios/similarities ship as floor(x*1e6) BIGINT
+                    (no round(): half-up vs half-even tie hazard);
+                  * double SUMs ship as exact integer cents/micros
+                    (floor(x*scale+0.5) per row, BIGINT sum — order-free);
+                  * dot products are left folds — bit-identical across
+                    Spark's aggregate() and DuckDB's list_reduce();
+                  * DuckDB len()/sum() results are cast to match Spark's
+                    INT/BIGINT output types.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+_SHIPPED = set()
+
+
+def _ship(spark: SparkSession) -> None:
+    """Make orc_spark importable in executor Python workers regardless of the
+    driver session's PYTHONPATH (on a real cluster: spark-submit --py-files)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "orc_spark")
+    zpath = os.path.join(tempfile.mkdtemp(prefix="orc_spark_ship_"), "orc_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: full encode pipeline + bit-equality
+    verify; one row per committed partition (driver checks rows > 0)."""
+    _ship(spark)
+    from orc_spark.flagship import encode_roundtrip_metrics
+
+    return encode_roundtrip_metrics(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from orc_spark import relational, similarity, textops
+    from orc_spark.flagship import codec_plan_report, encode_roundtrip_metrics
+    from orc_spark.multimodal import multimodal_meta
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _enc(spark, sf_dir):
+        _ship(spark)
+        return encode_roundtrip_metrics(spark, sf_dir)
+
+    def _mm(spark, sf_dir):
+        _ship(spark)
+        return multimodal_meta(spark, sf_dir)
+
+    return {
+        # engine pipeline (non-SQL: rows-only checks)
+        "encode_roundtrip": _enc,
+        "codec_plan": lambda s, d: codec_plan_report(s, d),
+        # text analysis
+        "corpus_stats": textops.corpus_stats,
+        "token_counts": textops.token_counts,
+        "quality_scores": textops.quality_scores,
+        "lang_guess": textops.lang_guess,
+        "fingerprints": textops.fingerprints,
+        # dedup family
+        "dedup_exact": textops.dedup_exact,
+        "jaccard_pairs": textops.jaccard_pairs,
+        "minhash_signatures": textops.minhash_signatures,
+        "minhash_candidates": textops.minhash_candidates,
+        "simhash": textops.simhash32,
+        # similarity search
+        "topk_cosine": similarity.topk_cosine,
+        "lsh_buckets": similarity.lsh_buckets,
+        # multimodal plumbing
+        "multimodal_meta": _mm,
+        # relational / rollups
+        "pricing_summary": relational.pricing_summary,
+        "nation_revenue": relational.nation_revenue,
+        "events_daily": relational.events_hourly,
+        "user_value_rank": relational.user_value_rank,
+        "size_histogram": relational.size_histogram,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracles (DuckDB ANSI SQL over pre-registered views)
+# --------------------------------------------------------------------------
+
+# 48/32-bit md5-prefix integer hash — DuckDB spelling of orc_spark.textops._h48
+_H48 = "CAST(('0x' || substr(md5({x}),1,12)) AS BIGINT)"
+_H32 = "CAST(('0x' || substr(md5({x}),1,8)) AS BIGINT)"
+
+# distinct 3-word shingles per doc (DuckDB spelling of textops.shingles)
+_SHINGLES = """
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+                ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+"""
+
+_MINHASH_SIG = f"""
+  WITH s AS ({_SHINGLES}),
+  h AS (
+    SELECT doc_id, i,
+           min({_H48.format(x="CAST(i AS VARCHAR)||'|'||shingle")}) AS minh
+    FROM s, (SELECT unnest(range(0,16)) AS i)
+    GROUP BY doc_id, i
+  )
+  SELECT doc_id, CAST(i//4 AS INTEGER) AS band,
+         md5(array_to_string(list(CAST(minh AS VARCHAR) ORDER BY i), ',')) AS band_key
+  FROM h GROUP BY doc_id, CAST(i//4 AS INTEGER)
+"""
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE) for i in range(1, len({a})+1)]), "
+    "(x,y) -> x+y)"
+)
+
+_LSH_W = (
+    "CASE WHEN "
+    + _H48.format(x="CAST(p AS VARCHAR)||'|'||CAST(i-1 AS VARCHAR)")
+    + " % 2 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    h48_text = _H48.format(x="text")
+    h48_word = _H48.format(x="x")
+    return {
+        "corpus_stats": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(floor(CAST(sum(n_chars) AS DOUBLE)/count(*)*10000) AS BIGINT) AS avg_chars_f4,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split(text,' ')) AS INTEGER) AS n_words,
+                   CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct_words
+            FROM documents
+        """,
+        "quality_scores": """
+            WITH t AS (SELECT doc_id, n_chars, string_split(text,' ') AS w FROM documents)
+            SELECT doc_id,
+                   CAST(len(w) AS INTEGER) AS n_words,
+                   CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE)/len(w)*1000000) AS BIGINT) AS distinct_ratio_f6,
+                   CAST(floor(CAST(len(list_filter(w, x -> x='a')) + len(list_filter(w, x -> x='the')) AS DOUBLE)/len(w)*1000000) AS BIGINT) AS stop_ratio_f6,
+                   CAST(floor(CAST(n_chars-(len(w)-1) AS DOUBLE)/len(w)*1000000) AS BIGINT) AS avg_word_len_f6
+            FROM t
+        """,
+        "lang_guess": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_filter(string_split(text,' '), x -> x='the')) AS INTEGER) AS s_en,
+                     CAST(len(list_filter(string_split(text,' '), x -> x='row')) AS INTEGER) AS s_de,
+                     CAST(len(list_filter(string_split(text,' '), x -> x='slow')) AS INTEGER) AS s_es,
+                     CAST(len(list_filter(string_split(text,' '), x -> x='scan')) AS INTEGER) AS s_fr,
+                     CAST(len(list_filter(string_split(text,' '), x -> x='join')) AS INTEGER) AS s_zh
+              FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN s_en>=s_de AND s_en>=s_es AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+                        WHEN s_de>=s_en AND s_de>=s_es AND s_de>=s_fr AND s_de>=s_zh THEN 'de'
+                        WHEN s_es>=s_en AND s_es>=s_de AND s_es>=s_fr AND s_es>=s_zh THEN 'es'
+                        WHEN s_fr>=s_en AND s_fr>=s_de AND s_fr>=s_es AND s_fr>=s_zh THEN 'fr'
+                        WHEN s_zh>=s_en AND s_zh>=s_de AND s_zh>=s_es AND s_zh>=s_fr THEN 'zh'
+                        ELSE 'en' END AS guess,
+                   s_en, s_de, s_es, s_fr, s_zh
+            FROM s
+        """,
+        "fingerprints": f"""
+            SELECT doc_id,
+                   substr(md5(text),1,16) AS fp_md5,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text,' '),
+                                      x -> {h48_word} % 2147483647)),
+                     (a,b) -> (a*31 + b) % 2147483647) AS fp_roll
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT {h48_text} AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "jaccard_pairs": f"""
+            WITH s AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, inter,
+                   CAST(sa.n_sh + sb.n_sh - inter AS BIGINT) AS uni,
+                   CAST(floor(CAST(inter AS DOUBLE)/(sa.n_sh + sb.n_sh - inter)*1000000) AS BIGINT) AS jaccard_f6
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter >= 2
+              AND CAST(floor(CAST(inter AS DOUBLE)/(sa.n_sh + sb.n_sh - inter)*1000000) AS BIGINT) >= 30000
+        """,
+        "minhash_signatures": _MINHASH_SIG,
+        "minhash_candidates": f"""
+            WITH sig AS ({_MINHASH_SIG})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        """,
+        "simhash": f"""
+            WITH wh AS (
+              SELECT doc_id, {_H32.format(x="word")} AS h
+              FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)),
+            v AS (
+              SELECT doc_id, b,
+                     sum(CAST(floor(h / pow(2,b)) AS BIGINT) % 2 * 2 - 1) AS vote
+              FROM wh, (SELECT unnest(range(0,32)) AS b)
+              GROUP BY doc_id, b)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+            FROM v GROUP BY doc_id
+        """,
+        "topk_cosine": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+            sims AS (
+              SELECT query_id, cand_id,
+                     CAST(floor(
+                       {_FOLD_DOT.format(a='qv', b='cv')}
+                       / (sqrt({_FOLD_DOT.format(a='qv', b='qv')})
+                          * sqrt({_FOLD_DOT.format(a='cv', b='cv')}))
+                       * 1000000) AS BIGINT) AS sim_f6
+              FROM c, q WHERE cand_id <> query_id)
+            SELECT query_id, cand_id, sim_f6,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_f6 DESC, cand_id ASC) AS INTEGER) AS rnk
+            FROM sims
+            QUALIFY rnk <= 5
+        """,
+        "lsh_buckets": f"""
+            WITH d AS (
+              SELECT vec_id, p,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [CAST(embedding[i] AS DOUBLE) * ({_LSH_W})
+                        for i in range(1, len(embedding)+1)]),
+                       (x,y) -> x+y) AS dot
+              FROM embeddings, (SELECT unnest(range(0,8)) AS p)),
+            b AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2,p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+              FROM d GROUP BY vec_id)
+            SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+            FROM b GROUP BY bucket
+        """,
+        "multimodal_meta": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(ascii(substr(text,1,1)) AS INTEGER) AS first_byte
+            FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_u,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_u,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "nation_revenue": """
+            SELECT n_name AS nation,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_daily": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_u,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "user_value_rank": """
+            WITH t AS (
+              SELECT event_type, user_id,
+                     CAST(sum(CAST(floor(value*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_u,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, user_id, total_value_u, n_events,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY total_value_u DESC, user_id ASC) AS INTEGER) AS rnk
+            FROM t QUALIFY rnk <= 20
+        """,
+        "size_histogram": """
+            SELECT source,
+                   CAST(floor(n_chars/100) AS BIGINT) AS bucket,
+                   count(*) AS n_docs,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,99 @@
+"""spark-submit entry point for the encode pipeline (BASELINE.json:6
+"submitted via spark-submit --py-files").
+
+Usage (cluster):
+  python -m zipfile -c engine.zip orc_spark/
+  spark-submit --py-files engine.zip job.py \
+      --input <parquet dir of (doc_id,tokens,n_tok,source)> \
+      --warehouse <dir> --snapshot s1
+
+Usage (sandbox, synthesizing the canonical input at the input_hint shape):
+  python job.py --docs 20000 --warehouse /tmp/wh --cpus 8
+
+Prints one JSON line of run metrics (tokens/sec, bytes/token, partitions).
+Re-running with the same --snapshot resumes from the last committed
+checkpoint (already-committed partitions are skipped, orphan files adopted).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet dir of (doc_id,tokens,n_tok,source)")
+    ap.add_argument("--docs", type=int, help="synthesize canonical fixture table instead")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--snapshot", default="s1")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--salt-buckets", type=int, default=32)
+    ap.add_argument("--stripe-tokens", type=int, default=4_000_000)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--verify", action="store_true", help="decode + bit-equality check")
+    args = ap.parse_args()
+    if not args.input and not args.docs:
+        ap.error("one of --input / --docs is required")
+
+    from orc_spark.pipeline import decode_table, encode_table, verify_roundtrip
+    from orc_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app_name="orc_spark_encode")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.docs:
+        import pyarrow.parquet as pq
+
+        from orc_spark.fixtures import tokens_arrow
+
+        inp = os.path.join(args.warehouse, "_input")
+        os.makedirs(inp, exist_ok=True)
+        f = os.path.join(inp, f"docs-{args.docs}.parquet")
+        if not os.path.exists(f):
+            pq.write_table(tokens_arrow(args.docs), f)
+        args.input = inp
+
+    df = spark.read.parquet(args.input)
+    t0 = time.perf_counter()
+    manifest = encode_table(
+        spark,
+        df,
+        args.warehouse,
+        snapshot=args.snapshot,
+        salt_buckets=args.salt_buckets,
+        stripe_tokens=args.stripe_tokens,
+        num_partitions=args.partitions,
+    )
+    encode_s = time.perf_counter() - t0
+    parts = manifest["partitions"]
+    n_tokens = sum(p["n_tokens"] for p in parts.values())
+    enc_bytes = sum(p["enc_bytes"] for p in parts.values())
+    out = {
+        "snapshot": args.snapshot,
+        "cpus": args.cpus,
+        "partitions": len(parts),
+        "n_rows": sum(p["n_rows"] for p in parts.values()),
+        "n_tokens": n_tokens,
+        "enc_bytes": enc_bytes,
+        "bytes_per_token": round(enc_bytes / max(n_tokens, 1), 4),
+        "encode_s": round(encode_s, 3),
+        "encode_tokens_per_s": round(n_tokens / encode_s, 1),
+    }
+    if args.verify:
+        t1 = time.perf_counter()
+        dec = decode_table(spark, args.warehouse, snapshot=args.snapshot)
+        res = verify_roundtrip(df, dec)
+        out["verify_s"] = round(time.perf_counter() - t1, 3)
+        out["verify_ok"] = res["ok"]
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Embedding similarity search over the `embeddings` table
+(vec_id bigint, embedding array<float>, label int).
+
+- Brute-force cosine top-k: the exactness baseline. Queries are broadcast
+  (tiny side of the join), candidates stream — at 100 TB this is one scan of
+  the corpus per query batch with no shuffle of the big side.
+- Random-hyperplane LSH buckets: the scale path. Each vector maps to a
+  `planes`-bit bucket in one narrow pass; ANN candidate generation is then a
+  per-bucket join (like MinHash banding in textops.py).
+
+Numerics are left-fold dot products over float→double casts — bit-exactly
+reproducible in the DuckDB oracle (list_reduce over the same order), so the
+correctness gate checks VALUES, not just shapes. All JVM-side higher-order
+functions (zip_with/aggregate); hyperplane signs come from md5 bits
+(hashlib in Python == md5() in SQL), no RNG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    """Left-fold Σ a[i]*b[i] in double — order-deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def topk_cosine(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for each query vector
+    (vec_id < n_queries), self excluded. Plan: broadcast the query side,
+    scan candidates once, per-query top-k via window over a tiny result."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            # floor(sim*1e6) BIGINT: the fold/sqrt/divide chain is
+            # bit-identical in the DuckDB oracle, and floor (unlike round)
+            # has no cross-engine tie-breaking hazard.
+            F.floor(
+                _dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("sim_f6"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_f6").desc(), F.col("cand_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "sim_f6", "rnk")
+    )
+
+
+def plane_weights(planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign(p,d) from bit 0 of the 48-bit md5
+    prefix of 'p|d'. Identical to the SQL md5 the oracle computes."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:12], 16)
+            row.append(1.0 if h % 2 == 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def lsh_buckets(
+    spark: SparkSession, sf_dir: str, planes: int = N_PLANES
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = Σ_p [dot(e, w_p) > 0] << p. One
+    narrow pass over the corpus (weights are literals in the plan), then a
+    map-side-combined groupBy on the bucket id."""
+    ws = plane_weights(planes)
+    bucket = None
+    for p, row in enumerate(ws):
+        wcol = F.array(*[F.lit(x) for x in row])
+        bit = F.when(_dot(F.col("embedding"), wcol) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        _emb(spark, sf_dir)
+        .select(F.col("vec_id"), bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def lsh_ann_candidates(
+    spark: SparkSession, sf_dir: str, planes: int = N_PLANES
+) -> DataFrame:
+    """ANN candidate pairs = vectors sharing an LSH bucket (per-bucket join,
+    never all-pairs). Refine with exact cosine downstream."""
+    ws = plane_weights(planes)
+    bucket = None
+    for p, row in enumerate(ws):
+        wcol = F.array(*[F.lit(x) for x in row])
+        bit = F.when(_dot(F.col("embedding"), wcol) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    b = _emb(spark, sf_dir).select("vec_id", bucket.cast("long").alias("bucket"))
+    return (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            "bucket",
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+    )
