@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--stripe-tokens", type=int, default=4_000_000)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--verify", action="store_true", help="decode + bit-equality check")
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run one throwaway encode first (amortizes Python-worker/JIT "
+        "startup, as a long-running cluster job would)",
+    )
     args = ap.parse_args()
     if not args.input and not args.docs:
         ap.error("one of --input / --docs is required")
@@ -60,6 +66,16 @@ def main() -> None:
         args.input = inp
 
     df = spark.read.parquet(args.input)
+    if args.warmup:
+        import shutil
+
+        wwh = os.path.join(args.warehouse, "_warmup")
+        encode_table(
+            spark, df, wwh, snapshot="warmup",
+            salt_buckets=args.salt_buckets, stripe_tokens=args.stripe_tokens,
+            num_partitions=args.partitions,
+        )
+        shutil.rmtree(wwh, ignore_errors=True)
     t0 = time.perf_counter()
     manifest = encode_table(
         spark,

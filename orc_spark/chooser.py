@@ -28,7 +28,7 @@ from .codecs import fsst
 
 DICT_THRESHOLD = 0.8
 FSST_GAIN = 0.90
-FSST_SAMPLE = 1 << 14
+FSST_SAMPLE = 1 << 13
 
 
 def choose_int(arr: np.ndarray) -> dict:
@@ -38,20 +38,25 @@ def choose_int(arr: np.ndarray) -> dict:
 
 
 def choose_string(n: int, n_distinct: int, sample: bytes) -> dict:
-    """String column plan from cardinality + a byte sample."""
+    """String column plan from cardinality + a byte sample. The trial-trained
+    FSST table rides along in the plan so the encoder does not train twice
+    (training is the costliest pure-Python step in the whole stripe path)."""
     use_dict = n > 0 and (n_distinct / n) <= DICT_THRESHOLD
+    table = fsst_worthwhile(sample)
     return {
         "encoding": "dictionary" if use_dict else "direct",
-        "fsst": fsst_worthwhile(sample),
+        "fsst": table is not None,
+        "fsst_table": table,
     }
 
 
-def fsst_worthwhile(sample: bytes) -> bool:
+def fsst_worthwhile(sample: bytes) -> list[bytes] | None:
+    """Train on a sample; return the table if it pays, else None."""
     if len(sample) < 256:
-        return False
+        return None
     sample = sample[:FSST_SAMPLE]
     table = fsst.train(sample)
     if not table:
-        return False
+        return None
     enc = fsst.compress(sample, table)
-    return len(enc) < len(sample) * FSST_GAIN
+    return table if len(enc) < len(sample) * FSST_GAIN else None

@@ -47,10 +47,10 @@ def dictionary_parts(values) -> tuple[np.ndarray, list[bytes]]:
     return rank[idx], [dict_vals[i].encode() for i in order]
 
 
-def encode_direct(values, use_fsst: bool) -> dict[str, bytes]:
+def encode_direct(values, use_fsst: bool, table: list[bytes] | None = None) -> dict[str, bytes]:
     offs, data = to_offsets_bytes(values)
     lens = np.diff(offs)
-    payload = fsst_wrap(data, use_fsst)
+    payload = fsst_wrap(data, use_fsst, table)
     return {"LENGTH": encode_rlev2(lens, signed=False), "DATA": payload}
 
 
@@ -64,14 +64,16 @@ def decode_direct(streams: dict[str, bytes], n: int, used_fsst: bool) -> pa.Arra
     )
 
 
-def encode_dictionary(values, use_fsst: bool) -> tuple[dict[str, bytes], int]:
+def encode_dictionary(
+    values, use_fsst: bool, table: list[bytes] | None = None
+) -> tuple[dict[str, bytes], int]:
     idx, words = dictionary_parts(values)
     blob = b"".join(words)
     wl = np.array([len(w) for w in words], dtype=np.int64)
     return (
         {
             "DATA": encode_rlev2(idx, signed=False),
-            "DICTIONARY_DATA": fsst_wrap(np.frombuffer(blob, dtype=np.uint8), use_fsst),
+            "DICTIONARY_DATA": fsst_wrap(np.frombuffer(blob, dtype=np.uint8), use_fsst, table),
             "DICT_LENGTH": encode_rlev2(wl, signed=False),
         },
         len(words),
@@ -96,10 +98,11 @@ def decode_dictionary(
     )
 
 
-def fsst_wrap(data: np.ndarray, use_fsst: bool) -> bytes:
+def fsst_wrap(data: np.ndarray, use_fsst: bool, table: list[bytes] | None = None) -> bytes:
     if not use_fsst or len(data) == 0:
         return bytes(data)
-    table = fsst.train(data[: 1 << 16])
+    if table is None:
+        table = fsst.train(data[: 1 << 16])
     return fsst.compress(data, table)
 
 

@@ -27,10 +27,21 @@ def get_spark(
     pp = os.environ.get("PYTHONPATH", "")
     if repo_root not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
-    return (
+    # shuffle/spill to tmpfs when available — stands in for the node-local
+    # NVMe a real executor would use (/tmp here is shared spinning disk, and
+    # its contention noise would swamp CPU-scaling measurements)
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    return (
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))

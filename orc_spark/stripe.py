@@ -89,7 +89,7 @@ def _encode_string_column(w: _BlobWriter, name: str, arr: pa.Array, streams: lis
     n_distinct = len(pc.unique(arr)) if n else 0
     plan = chooser.choose_string(n, n_distinct, bytes(data[: chooser.FSST_SAMPLE]))
     if plan["encoding"] == "dictionary":
-        parts, dict_size = scodec.encode_dictionary(arr, plan["fsst"])
+        parts, dict_size = scodec.encode_dictionary(arr, plan["fsst"], plan.get("fsst_table"))
         streams.append(w.add(name, "DATA", parts["DATA"], {"codec": "rle2", "signed": False, "n": n}))
         streams.append(
             w.add(name, "DICTIONARY_DATA", parts["DICTIONARY_DATA"], {"fsst": plan["fsst"]})
@@ -99,7 +99,7 @@ def _encode_string_column(w: _BlobWriter, name: str, arr: pa.Array, streams: lis
         )
         col_meta.update(encoding="DICTIONARY", dict_size=dict_size)
     else:
-        parts = scodec.encode_direct(arr, plan["fsst"])
+        parts = scodec.encode_direct(arr, plan["fsst"], plan.get("fsst_table"))
         streams.append(w.add(name, "LENGTH", parts["LENGTH"], {"codec": "rle2", "signed": False, "n": n}))
         streams.append(w.add(name, "DATA", parts["DATA"], {"fsst": plan["fsst"]}))
         col_meta.update(encoding="FSST" if plan["fsst"] else "DIRECT")
