@@ -1,0 +1,116 @@
+"""Scaling-efficiency evidence runner (BASELINE.md gate: >=0.8 from N to 4N).
+
+There is no multi-node cluster in this sandbox, so the N -> 4N executor
+criterion is evidenced by running the IDENTICAL spark-submit job at two
+parallelism levels (local[N] vs local[4N]) on the same input, per the task
+instructions.
+
+Methodology notes (why pairs + best-of): this host's effective memory
+bandwidth under concurrency swings by >10x between identical runs seconds
+apart (noisy neighbors — e.g. an in-place numpy streaming micro-benchmark
+measured 14.8 GB/s, then 2.2, then 1.1 aggregate across three back-to-back
+reps). Single measurements are therefore meaningless; this script alternates
+N and 4N runs so both sample the same noise environment, and reports the
+per-config BEST (least-contended sample) plus every raw observation.
+
+Usage:
+  python bench_scaling.py [--docs 400000] [--pairs 3] [--n 8]
+Prints one JSON line:
+  {"n": .., "xn": .., "thr_n": .., "thr_xn": .., "efficiency": ..,
+   "runs": {...}, "n_tokens": ..}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _ensure_input(docs: int, base: str) -> tuple[str, int]:
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, REPO)
+    from orc_spark.fixtures import tokens_arrow
+
+    d = os.path.join(base, f"scale_in_{docs}")
+    f = os.path.join(d, "docs.parquet")
+    if not os.path.exists(f):
+        os.makedirs(d, exist_ok=True)
+        t = tokens_arrow(docs)
+        pq.write_table(t, f, row_group_size=8192)
+        ntok = int(sum(t.column("n_tok").to_pylist()))
+        json.dump({"n_tokens": ntok}, open(os.path.join(d, "_meta.json"), "w"))
+    ntok = json.load(open(os.path.join(d, "_meta.json")))["n_tokens"]
+    return d, ntok
+
+
+def _run(inp: str, wh: str, cpus: int, retries: int = 1, pin: bool = False) -> dict:
+    shutil.rmtree(wh, ignore_errors=True)
+    env = {**os.environ, "SPARK_DRIVER_MEM": "16g"}
+    cmd = [sys.executable, os.path.join(REPO, "job.py"), "--input", inp,
+           "--warehouse", wh, "--cpus", str(cpus), "--warmup",
+           # one encode task per core: the task's JVM-feed and Python-codec
+           # threads interleave on the same core (mild oversubscription
+           # pipelines stalls; measured faster than cores/2 tasks when the
+           # process tree is pinned to its core budget)
+           "--partitions", str(cpus)]
+    if pin:
+        # confine the WHOLE process tree (JVM incl. GC/shuffle threads +
+        # Python workers) to exactly `cpus` hardware threads — local[N] alone
+        # only caps task slots, letting small-N configs borrow extra cores
+        # for JVM internals, which understates scaling efficiency
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, timeout=1200,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    if retries > 0:  # e.g. Spark local-mode ContextCleaner broadcast race
+        print(f"# retrying cpus={cpus} after failure", file=sys.stderr, flush=True)
+        return _run(inp, wh, cpus, retries - 1, pin)
+    raise RuntimeError(f"job failed (cpus={cpus}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--base", default="/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each run to exactly its core budget")
+    args = ap.parse_args()
+    xn = 4 * args.n
+
+    inp, ntok = _ensure_input(args.docs, args.base)
+    wh = os.path.join(args.base, "scale_wh")
+    runs: dict[str, list[float]] = {str(args.n): [], str(xn): []}
+    for _ in range(args.pairs):
+        for cpus in (xn, args.n):  # alternate so both sample the same noise
+            m = _run(inp, wh, cpus, pin=args.pin)
+            runs[str(cpus)].append(m["encode_tokens_per_s"])
+            print(f"# cpus={cpus} encode_s={m['encode_s']} "
+                  f"thr={m['encode_tokens_per_s']/1e6:.2f} Mtok/s",
+                  file=sys.stderr, flush=True)
+    shutil.rmtree(wh, ignore_errors=True)
+    thr_n = max(runs[str(args.n)])
+    thr_xn = max(runs[str(xn)])
+    print(json.dumps({
+        "n": args.n, "xn": xn,
+        "thr_n_tokens_per_s": round(thr_n, 1),
+        "thr_xn_tokens_per_s": round(thr_xn, 1),
+        "efficiency": round(thr_xn / thr_n / 4, 3),
+        "n_tokens": ntok,
+        "runs_tokens_per_s": {k: [round(v, 1) for v in vs] for k, vs in runs.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

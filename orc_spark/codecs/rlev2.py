@@ -115,12 +115,15 @@ def _encode_full_blocks(M: np.ndarray, signed: bool) -> list[bytes]:
         # --- PATCHED_BASE estimate ---------------------------------------
         base = M.min(axis=1)
         reduced = (M.view(np.uint64) - base[:, None].view(np.uint64))  # exact range
-        blr = bit_length(reduced.reshape(-1)).reshape(B, BLOCK)
-        sbl = np.sort(blr, axis=1)
-        wp_raw = np.maximum(sbl[:, BLOCK - 32], 1)  # <=31 values strictly above
+        # bit lengths as uint8 + partition (two order statistics, not a full
+        # sort): 8x less traffic than the int64 sort this replaced — the
+        # stats pass is the hot loop at 100-core concurrency
+        blr = bit_length(reduced.reshape(-1)).astype(np.uint8).reshape(B, BLOCK)
+        part = np.partition(blr, (BLOCK - 32, BLOCK - 1), axis=1)
+        wp_raw = np.maximum(part[:, BLOCK - 32].astype(np.int64), 1)  # <=31 above
         wp = _CLOSED_LUT[wp_raw]
-        w100 = sbl[:, -1]
-        npatch_est = (blr > wp[:, None]).sum(axis=1)
+        w100 = part[:, -1].astype(np.int64)
+        npatch_est = (blr > wp.astype(np.uint8)[:, None]).sum(axis=1)
         pw_est = _CLOSED_LUT[np.maximum(w100 - wp, 1)]
         bw = np.minimum((bit_length(np.abs(base).view(np.uint64)) + 1 + 7) // 8, 8)
         bw = np.maximum(bw, 1)
@@ -174,7 +177,7 @@ def _encode_full_blocks(M: np.ndarray, signed: bool) -> list[bytes]:
         with np.errstate(over="ignore"):
             blrP = blr[pat_idx]
             wpP = wp[pat_idx]
-            maskP = blrP > wpP[:, None]
+            maskP = blrP > wpP.astype(np.uint8)[:, None]
             counts = maskP.sum(axis=1)
             rows, cols = np.nonzero(maskP)
             starts = np.zeros(len(pat_idx), dtype=np.int64)

@@ -219,7 +219,13 @@ def encode_table(
             skip = spark.createDataFrame([(p,) for p in committed], "pid string")
             dfp = dfp.join(F.broadcast(skip), "pid", "left_anti")
 
-    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    # each encode task keeps ~2 threads busy (JVM shuffle-read/Arrow feed +
+    # the Python codec worker), so running parallelism/2 tasks fills the
+    # machine without oversubscribing — measured faster than 1 task/core
+    # (local[16] beat local[32] on a 32-core box at 322M tokens)
+    num_partitions = num_partitions or max(
+        spark.sparkContext.defaultParallelism // 2, 2
+    )
     meta_df = (
         dfp.repartition(num_partitions, "pid")
         .sortWithinPartitions("pid")  # cluster pids; doc_id order is restored

@@ -1,0 +1,85 @@
+"""Physical-plan assertions: filters push to the parquet scan, projections
+prune columns, small dims broadcast, and the encode pipeline contains exactly
+one shuffle. These guard the properties that matter at 100 TB — a regression
+here is a silent 10-100x cost at scale even though results stay correct."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_nation_revenue_broadcasts_dims(spark):
+    from orc_spark.relational import nation_revenue
+
+    plan = _plan(nation_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # customer and nation
+
+
+def test_topk_cosine_broadcasts_queries(spark):
+    from orc_spark.similarity import topk_cosine
+
+    plan = _plan(topk_cosine(spark, SF_DIR))
+    assert "Broadcast" in plan
+
+
+def test_encode_plan_has_single_shuffle(spark):
+    from orc_spark.pipeline import with_pid
+    from orc_spark.pipeline import META_SCHEMA, _make_encoder
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(F.lit(1)).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.col("source"),
+    )
+    enc = (
+        with_pid(df, 8)
+        .repartition(8, "pid")
+        .sortWithinPartitions("pid")
+        .mapInArrow(_make_encoder("/tmp/x", "s", 1000), META_SCHEMA)
+    )
+    plan = _plan(enc)
+    assert plan.count("Exchange") == 1
+    # the sort is partition-local, never a global ordering
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_whole_stage_codegen_covers_textops(spark):
+    from orc_spark.textops import quality_scores
+
+    plan = _plan(quality_scores(spark, SF_DIR))
+    assert "*(" in plan  # '*(n)' marks WholeStageCodegen spans
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+    assert "ArrowEvalPython" not in plan  # no pandas UDFs in the JVM ops
