@@ -73,12 +73,46 @@ def pack(values: np.ndarray, width: int) -> bytes:
     v = values.astype(np.uint64, copy=False)
     if width < 64:
         v = v & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))
+    if width <= 32 and (n * width) % 32 == 0 and n >= 4096:
+        # 32-bit lanes: identical MSB-first byte stream (big-endian word
+        # chunking is chunk-size-invariant), half the memory traffic of the
+        # 64-bit path — token streams pack at ~16-bit widths, making this
+        # the hottest kernel in the encode pipeline
+        return _pack_aligned_lanes(v.astype(np.uint32), width, 32)
     if (n * width) % 64 == 0 and n >= 4096:
         return _pack_aligned(v, width)
     dt, nbytes = _container(width)
     b = v.astype(dt).view(np.uint8).reshape(n, nbytes)
     bits = np.unpackbits(b, axis=1)[:, nbytes * 8 - width :]
     return np.packbits(bits.ravel()).tobytes()
+
+
+def _pack_aligned_lanes(v: np.ndarray, w: int, word: int) -> bytes:
+    """Shift-or lane packing into `word`-bit big-endian words (word in
+    {32, 64}); requires len*w % word == 0 and w <= word."""
+    import math
+
+    dt = np.uint32 if word == 32 else np.uint64
+    n = len(v)
+    P = math.lcm(word, w) // w
+    L = (P * w) // word
+    nwords = (n * w) // word
+    out = np.zeros(nwords, dtype=dt)
+    for r in range(P):
+        sel = v[r::P]
+        if not len(sel):
+            break
+        bo = r * w
+        wi = bo // word
+        sh = word - w - (bo % word)
+        dst = out[wi::L][: len(sel)]
+        if sh >= 0:
+            dst |= sel << dt(sh)
+        else:
+            dst |= sel >> dt(-sh)
+            dst2 = out[wi + 1 :: L][: len(sel)]
+            dst2 |= sel << dt(word + sh)
+    return out.astype(">u4" if word == 32 else ">u8").tobytes()
 
 
 def _pack_aligned(v: np.ndarray, w: int) -> bytes:
