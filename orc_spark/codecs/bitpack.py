@@ -154,6 +154,16 @@ def unpack(buf, n: int, width: int) -> np.ndarray:
     """Unpack `n` values of `width` bits from `buf` -> uint64 array."""
     if n == 0 or width == 0:
         return np.zeros(n, dtype=np.uint64)
+    if width <= 32 and (n * width) % 32 == 0 and n >= 64:
+        # lane shift-mask extraction: inverse of _pack_aligned_lanes. Each of
+        # the P = lcm(32,w)/w lanes costs ~2 numpy calls on n/P elements, so
+        # it only beats the unpackbits path when lanes are few (w divides a
+        # word cleanly) or n is large enough to amortize the call overhead.
+        import math
+
+        P = math.lcm(32, width) // width
+        if 2 * P + 2 < 12 or n // P >= 1024:
+            return _unpack_aligned_lanes(buf, n, width)
     need = packed_size(n, width)
     raw = np.frombuffer(buf, dtype=np.uint8, count=need)
     bits = np.unpackbits(raw)[: n * width].reshape(n, width)
@@ -161,6 +171,35 @@ def unpack(buf, n: int, width: int) -> np.ndarray:
     full = np.zeros((n, nbytes * 8), dtype=np.uint8)
     full[:, nbytes * 8 - width :] = bits
     return np.packbits(full, axis=1).reshape(n, nbytes).view(dt).ravel().astype(np.uint64)
+
+
+def _unpack_aligned_lanes(buf, n: int, w: int) -> np.ndarray:
+    """Extract n w-bit values from 32-bit big-endian words (n*w % 32 == 0)."""
+    import math
+
+    word = 32
+    nwords = (n * w) // word
+    words = np.frombuffer(buf, dtype=">u4", count=nwords).astype(np.uint32)
+    P = math.lcm(word, w) // w
+    L = (P * w) // word
+    out = np.empty(n, dtype=np.uint32)
+    mask = np.uint32((1 << w) - 1) if w < 32 else np.uint32(0xFFFFFFFF)
+    for r in range(P):
+        cnt = len(out[r::P])
+        if not cnt:
+            break
+        bo = r * w
+        wi = bo // word
+        sh = word - w - (bo % word)
+        src = words[wi::L][:cnt]
+        if sh >= 0:
+            vals = (src >> np.uint32(sh)) & mask
+        else:
+            hi = src << np.uint32(-sh)
+            lo = words[wi + 1 :: L][:cnt] >> np.uint32(word + sh)
+            vals = (hi | lo) & mask
+        out[r::P] = vals
+    return out.astype(np.uint64)
 
 
 def varpack_rows(
