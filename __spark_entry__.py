@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "topk_cosine": similarity.topk_cosine,
         "lsh_buckets": similarity.lsh_buckets,
+        "embed_dup_pairs": similarity.embedding_dup_pairs,
+        "token_counts_bpe": textops.token_counts_bpe,
         # multimodal plumbing
         "multimodal_meta": _mm,
         # relational / rollups
@@ -267,6 +269,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_f6 DESC, cand_id ASC) AS INTEGER) AS rnk
             FROM sims
             QUALIFY rnk <= 5
+        """,
+        "embed_dup_pairs": f"""
+            WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+            b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+            p AS (
+              SELECT id_a, id_b,
+                     CAST(floor(
+                       {_FOLD_DOT.format(a='va', b='vb')}
+                       / (sqrt({_FOLD_DOT.format(a='va', b='va')})
+                          * sqrt({_FOLD_DOT.format(a='vb', b='vb')}))
+                       * 1000000) AS BIGINT) AS sim_f6
+              FROM a, b WHERE id_a < id_b)
+            SELECT id_a, id_b, sim_f6 FROM p WHERE sim_f6 >= 990000
+        """,
+        "token_counts_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+                   CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS INTEGER) AS n_bpe_distinct
+            FROM documents
         """,
         "lsh_buckets": f"""
             WITH d AS (

@@ -117,6 +117,36 @@ def lsh_buckets(
     )
 
 
+def embedding_dup_pairs(
+    spark: SparkSession, sf_dir: str, min_sim_f6: int = 990_000
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine
+    similarity >= threshold. Exact all-pairs — the small-scale oracle; the
+    scale path buckets by lsh_ann_candidates first and refines only within
+    buckets. Same left-fold numerics as topk_cosine (oracle-exact)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                _dot(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(_dot(F.col("va"), F.col("va")))
+                    * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("sim_f6"),
+        )
+        .where(F.col("sim_f6") >= min_sim_f6)
+    )
+
+
 def lsh_ann_candidates(
     spark: SparkSession, sf_dir: str, planes: int = N_PLANES
 ) -> DataFrame:

@@ -62,6 +62,21 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization count: alphabetic runs, digit runs, and single
+    punctuation marks (the pre-tokenizer split most BPE vocabularies use).
+    Narrow map; the regex is engine-portable (same dialect subset)."""
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_ISH}', 0)")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+    )
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus rollup (the stats that drive codec auto-selection
     at dataset level). One map-side-combinable shuffle on `source`."""

@@ -1,0 +1,99 @@
+"""Streaming ingestion: files arrive -> micro-batch encode -> snapshots in
+the warehouse; decoded union equals everything ingested (bit-equality);
+windowed watermarked stats run on the same stream."""
+
+import os
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from orc_spark.fixtures import tokens_arrow
+from orc_spark.pipeline import decode_table, verify_roundtrip
+from orc_spark.streaming import (
+    encode_stream,
+    read_tokens_stream,
+    windowed_token_stats,
+)
+from orc_spark.warehouse import Warehouse
+
+
+def test_stream_encode_exactly_once(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    t = tokens_arrow(300)
+    pq.write_table(t.slice(0, 150), str(inp / "part-0.parquet"))
+    pq.write_table(t.slice(150), str(inp / "part-1.parquet"))
+
+    wh = str(tmp_path / "wh")
+    q = encode_stream(
+        read_tokens_stream(spark, str(inp)),
+        wh,
+        checkpoint=str(tmp_path / "ckpt"),
+        salt_buckets=2,
+        stripe_tokens=50_000,
+    )
+    q.awaitTermination(180)
+
+    w = Warehouse(wh)
+    snaps = sorted(
+        f[5:-5]
+        for f in os.listdir(w.manifest_dir)
+        if f.startswith("snap-stream-")
+    )
+    assert len(snaps) >= 1
+    # union of all streaming snapshots == everything ingested, bit-identical
+    dec = None
+    for s in snaps:
+        d = decode_table(spark, wh, snapshot=s)
+        dec = d if dec is None else dec.unionAll(d)
+    orig = spark.createDataFrame(t.to_pandas())
+    res = verify_roundtrip(orig, dec)
+    assert res["ok"], res
+
+    # re-running over the same input+checkpoint is a no-op (exactly-once)
+    q2 = encode_stream(
+        read_tokens_stream(spark, str(inp)),
+        wh,
+        checkpoint=str(tmp_path / "ckpt"),
+        salt_buckets=2,
+        stripe_tokens=50_000,
+    )
+    q2.awaitTermination(120)
+    assert verify_roundtrip(orig, dec)["ok"]
+
+
+def test_windowed_stats_stream(spark, tmp_path):
+    import pyarrow as pa
+
+    inp = tmp_path / "in2"
+    inp.mkdir()
+    t = tokens_arrow(100)
+    import datetime
+
+    ts = pa.array(
+        [datetime.datetime(2024, 1, 1, 0, i % 5) for i in range(100)],
+        type=pa.timestamp("us"),
+    )
+    pq.write_table(t.append_column("ts", ts), str(inp / "p.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp"
+        )
+        .parquet(str(inp))
+    )
+    out = windowed_token_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winstats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM winstats").collect()
+    assert rows
+    assert sum(r["n_docs"] for r in rows) == 100
+    assert all(r["n_tokens"] > 0 for r in rows)
