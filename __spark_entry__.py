@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": similarity.topk_cosine,
         "lsh_buckets": similarity.lsh_buckets,
         "embed_dup_pairs": similarity.embedding_dup_pairs,
+        "ivf_assign": similarity.ivf_assign,
         "token_counts_bpe": textops.token_counts_bpe,
         # multimodal plumbing
         "multimodal_meta": _mm,
@@ -269,6 +270,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_f6 DESC, cand_id ASC) AS INTEGER) AS rnk
             FROM sims
             QUALIFY rnk <= 5
+        """,
+        "ivf_assign": f"""
+            WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+            s AS (
+              SELECT e.vec_id, c.cid,
+                     CAST(floor((
+                       {_FOLD_DOT.format(a='e.embedding', b='e.embedding')}
+                       - 2 * {_FOLD_DOT.format(a='e.embedding', b='c.cv')}
+                       + {_FOLD_DOT.format(a='c.cv', b='c.cv')}
+                     ) * 1000000) AS BIGINT) AS d2_f6
+              FROM embeddings e, c)
+            SELECT vec_id, cid AS list_id, d2_f6
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2_f6 ASC, cid ASC) = 1
         """,
         "embed_dup_pairs": f"""
             WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),

@@ -117,6 +117,57 @@ def lsh_buckets(
     )
 
 
+N_IVF_LISTS = 16
+
+
+def ivf_assign(
+    spark: SparkSession, sf_dir: str, n_lists: int = N_IVF_LISTS
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+    Centroids are the vectors with vec_id < n_lists (deterministic seeds — a
+    production index would Lloyd-iterate them; assignment mechanics and the
+    inverted-list statistics are identical). Plan: broadcast the centroid
+    table, one scan of the corpus, argmin via window over a tiny per-vector
+    candidate set. At 100 TB this is the standard ANN sharding pass: the
+    list id becomes the partition key and probes touch nprobe lists only."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    # squared L2 distance, left-fold (oracle-exact): |v|^2 - 2 v.c + |c|^2
+    d2 = (
+        _dot(F.col("embedding"), F.col("embedding"))
+        - 2 * _dot(F.col("embedding"), F.col("cv"))
+        + _dot(F.col("cv"), F.col("cv"))
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            F.floor(d2 * 1_000_000).cast("long").alias("d2_f6"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2_f6").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("list_id"), "d2_f6")
+    )
+
+
+def ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list occupancy — the balance check that decides whether the
+    coarse quantizer needs re-training (skewed lists = hot partitions)."""
+    return (
+        ivf_assign(spark, sf_dir)
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
 def embedding_dup_pairs(
     spark: SparkSession, sf_dir: str, min_sim_f6: int = 990_000
 ) -> DataFrame:
