@@ -293,11 +293,23 @@ def decode_table(
 
 
 def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> dict:
-    """Bit-equality gate (BASELINE.json:15): per-row token-array equality via
-    symmetric exceptAll — the probe-verified pattern (SURVEY.md [PROBE-4])."""
+    """Bit-equality gate (BASELINE.json:15): per-row token-array equality as
+    an exact multiset difference — union with +1/-1 tags, group by the full
+    row, keep nonzero sums. Semantically identical to symmetric exceptAll
+    (the probe-verified pattern, SURVEY.md [PROBE-4]) but one shuffle and one
+    pass over each side instead of two of each (halves verify wall time)."""
     cols = decoded.columns
-    a = original.select(*cols)
-    b = decoded.select(*cols)
-    missing = a.exceptAll(b).count()
-    extra = b.exceptAll(a).count()
+    a = original.select(*cols).withColumn("_tag", F.lit(1))
+    b = decoded.select(*cols).withColumn("_tag", F.lit(-1))
+    diff = (
+        a.unionAll(b)
+        .groupBy(*cols)
+        .agg(F.sum("_tag").alias("_d"))
+        .where(F.col("_d") != 0)
+    )
+    row = diff.agg(
+        F.coalesce(F.sum(F.when(F.col("_d") > 0, F.col("_d"))), F.lit(0)).alias("missing"),
+        F.coalesce(F.sum(F.when(F.col("_d") < 0, -F.col("_d"))), F.lit(0)).alias("extra"),
+    ).collect()[0]
+    missing, extra = int(row["missing"]), int(row["extra"])
     return {"missing": missing, "extra": extra, "ok": missing == 0 and extra == 0}
