@@ -106,3 +106,30 @@ def test_pack_many_slices():
 def test_empty():
     assert pack(np.array([], dtype=np.uint64), 8) == b""
     assert unpack(b"", 0, 8).tolist() == []
+
+
+def test_lane_pack_unpack_roundtrip_large():
+    """The 32-bit lane fast paths (pack for n>=4096, unpack gated by lane
+    count) must be byte- and value-identical to the generic paths."""
+    import numpy as np
+
+    from orc_spark.codecs.bitpack import pack, unpack
+
+    rng = np.random.RandomState(3)
+    for w in (1, 2, 3, 4, 5, 7, 8, 11, 15, 16, 17, 23, 24, 26, 30, 32):
+        n = 8192
+        v = rng.randint(0, 2 ** min(w, 31), n).astype(np.uint64)
+        blob = pack(v, w)
+        assert len(blob) == (n * w + 7) // 8
+        assert np.array_equal(unpack(blob, n, w), v), f"width {w}"
+
+
+def test_lane_unpack_small_runs_match_generic():
+    import numpy as np
+
+    from orc_spark.codecs.bitpack import pack, unpack
+
+    rng = np.random.RandomState(4)
+    for w in (4, 8, 16, 32):  # small-P widths take the lane path at n=512
+        v = rng.randint(0, 2 ** min(w, 31), 512).astype(np.uint64)
+        assert np.array_equal(unpack(pack(v, w), 512, w), v)

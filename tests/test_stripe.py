@@ -86,3 +86,25 @@ def test_int64_and_negative_values():
     blob, footer = encode_stripe(b)
     out = decode_stripe(blob, footer)
     assert out.column("x").equals(b.column("x"))
+
+
+def test_empty_and_null_token_lists_roundtrip():
+    """Docs with zero tokens and null token arrays survive the stripe path."""
+    import pyarrow as pa
+
+    from orc_spark.stripe import decode_stripe, encode_stripe
+
+    batch = pa.record_batch(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"]),
+            "tokens": pa.array(
+                [[1, 2, 3], [], None, [7]], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([3, 0, None, 1], type=pa.int32()),
+            "source": pa.array(["x", "x", "y", "y"]),
+        }
+    )
+    blob, footer = encode_stripe(batch)
+    out = decode_stripe(blob, footer)
+    assert out.column(1).to_pylist() == [[1, 2, 3], [], None, [7]]
+    assert out.column(2).to_pylist() == [3, 0, None, 1]
