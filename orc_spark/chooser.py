@@ -33,10 +33,31 @@ FSST_VS_ZSTD = 0.90  # FSST must beat plain zstd by >=10% to be worth its CPU
 FSST_SAMPLE = 1 << 13
 
 
+INT_TRIAL = 4096  # values sampled for the per-stream codec cost trial
+
+
 def choose_int(arr: np.ndarray) -> dict:
-    """Integer stream plan: codec + signedness (unsigned saves a zigzag bit)."""
+    """Integer stream plan: codec + signedness (unsigned saves a zigzag bit).
+
+    The codec is picked by an actual cost trial on a sample: encode up to
+    INT_TRIAL values with each menu entry (rle2 / for / bitpack) and keep the
+    smallest, preferring rle2 on ties (its per-512 sub-encoding adapts within
+    the stream). In practice rle2 wins almost always — RLEv2-DIRECT *is*
+    bit-packing and PATCHED_BASE *is* frame-of-reference with patching — but
+    the trial makes the selection observable and honest rather than
+    hard-wired, at ~0.1% of stream encode cost."""
+    from .codecs.intcodecs import encode_int_stream
+
     signed = bool(len(arr)) and int(arr.min()) < 0
-    return {"codec": "rle2", "signed": signed}
+    if len(arr) <= 16:
+        return {"codec": "rle2", "signed": signed}
+    sample = arr[:INT_TRIAL]
+    best, best_len = "rle2", None
+    for codec in ("rle2", "for", "bitpack"):
+        ln = len(encode_int_stream(sample, codec, signed))
+        if best_len is None or ln < best_len:
+            best, best_len = codec, ln
+    return {"codec": best, "signed": signed}
 
 
 def choose_string(n: int, n_distinct: int, sample: bytes) -> dict:

@@ -44,3 +44,26 @@ def test_property(xs, codec):
     a = np.array(xs, dtype=np.int64)
     enc = encode_int_stream(a, codec, True)
     assert np.array_equal(decode_int_stream(enc, len(a), codec, True), a)
+
+
+def test_chooser_runs_real_cost_trial():
+    """choose_int must pick by measured size, not a hard-wired default:
+    rle2 wins on runs/deltas; on incompressible white noise all three are
+    within a few header bytes and rle2 keeps the tie."""
+    import numpy as np
+
+    from orc_spark.chooser import choose_int
+
+    rng = np.random.RandomState(9)
+    assert choose_int(np.arange(10_000, dtype=np.int64))["codec"] == "rle2"
+    noise = rng.randint(0, 2**31, 10_000).astype(np.int64)
+    assert choose_int(noise)["codec"] in ("rle2", "for", "bitpack")
+    # the chosen codec must actually be the smallest on the trial sample
+    from orc_spark.codecs.intcodecs import encode_int_stream
+
+    plan = choose_int(noise)
+    sizes = {
+        c: len(encode_int_stream(noise[:4096], c, plan["signed"]))
+        for c in ("rle2", "for", "bitpack")
+    }
+    assert sizes[plan["codec"]] == min(sizes.values())
