@@ -37,11 +37,14 @@ def decode_width(code: int) -> int:
 
 
 def bit_length(values: np.ndarray) -> np.ndarray:
-    """Per-element bit length of a non-negative uint64/int64 array (0 for 0).
+    """Per-element bit length of a non-negative integer array (0 for 0).
 
-    Exact for the full 64-bit range (no float log2 edge cases): digitize against
-    powers of two.
+    Exact for the full 64-bit range (no float log2 edge cases).
     """
+    if values.dtype in (np.uint32, np.uint16, np.uint8):
+        # always < 2^53: frexp directly, no uint64 widening copy
+        _, e = np.frexp(values.astype(np.float64))
+        return e.astype(np.int64)
     v = values.astype(np.uint64, copy=False)
     if v.size and int(v.max()) < (1 << 53):
         # float64 represents integers < 2^53 exactly; frexp's exponent IS the
@@ -70,9 +73,18 @@ def pack(values: np.ndarray, width: int) -> bytes:
     n = len(values)
     if n == 0 or width == 0:
         return b""
-    v = values.astype(np.uint64, copy=False)
-    if width < 64:
-        v = v & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))
+    if values.dtype == np.uint32 and width <= 32:
+        # native narrow path: no uint64 widening at all
+        v32 = values
+        if width < 32:
+            v32 = v32 & np.uint32((1 << width) - 1)
+        if (n * width) % 32 == 0 and n >= 4096:
+            return _pack_aligned_lanes(v32, width, 32)
+        v = v32.astype(np.uint64)
+    else:
+        v = values.astype(np.uint64, copy=False)
+        if width < 64:
+            v = v & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))
     if width <= 32 and (n * width) % 32 == 0 and n >= 4096:
         # 32-bit lanes: identical MSB-first byte stream (big-endian word
         # chunking is chunk-size-invariant), half the memory traffic of the

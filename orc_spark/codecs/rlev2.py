@@ -59,12 +59,34 @@ def _uvarint_len(u: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def encode_rlev2(arr, signed: bool = True) -> bytes:
-    a = np.ascontiguousarray(arr, dtype=np.int64)
+    a = np.ascontiguousarray(arr)
     n = len(a)
     if n == 0:
         return b""
+    # narrow fast path: unsigned streams whose values fit 31 bits (token ids,
+    # lengths) run the whole stats+pack pipeline in uint32 — half the memory
+    # traffic, which is what the encoder is bound by at high core counts
+    narrow = (
+        not signed
+        and a.dtype in (np.int32, np.uint32, np.int16, np.uint16)
+        and int(a.min()) >= 0
+        and int(a.max()) < (1 << 31)
+    )
+    if narrow:
+        a32 = a.view(np.uint32) if a.dtype == np.int32 else a.astype(np.uint32, copy=False)
+        nb = n // BLOCK
+        chunks: list[bytes] = []
+        if nb:
+            chunks.extend(
+                _encode_full_blocks(a32[: nb * BLOCK].reshape(nb, BLOCK), False, narrow=True)
+            )
+        tail = a32[nb * BLOCK :]
+        if len(tail):
+            chunks.append(_encode_block_scalar(tail.astype(np.int64), False))
+        return b"".join(chunks)
+    a = a.astype(np.int64, copy=False)
     nb = n // BLOCK
-    chunks: list[bytes] = []
+    chunks = []
     if nb:
         chunks.extend(_encode_full_blocks(a[: nb * BLOCK].reshape(nb, BLOCK), signed))
     tail = a[nb * BLOCK :]
@@ -73,10 +95,15 @@ def encode_rlev2(arr, signed: bool = True) -> bytes:
     return b"".join(chunks)
 
 
-def _encode_full_blocks(M: np.ndarray, signed: bool) -> list[bytes]:
+def _encode_full_blocks(M: np.ndarray, signed: bool, narrow: bool = False) -> list[bytes]:
+    """M: (B, 512) int64, or uint32 with values < 2^31 when narrow=True
+    (then signed is False and every dtype-sensitive step stays 32-bit)."""
     B = M.shape[0]
     with np.errstate(over="ignore"):
-        zz = zigzag(M) if signed else M.view(np.uint64)
+        if narrow:
+            zz = M  # uint32, already non-negative
+        else:
+            zz = zigzag(M) if signed else M.view(np.uint64)
 
         # --- DIRECT cost -------------------------------------------------
         w_dir_act = bit_length(zz.max(axis=1))
@@ -84,37 +111,51 @@ def _encode_full_blocks(M: np.ndarray, signed: bool) -> list[bytes]:
         cost_direct = 2 + 64 * w_dir  # 512*w/8
 
         # --- DELTA eligibility + cost ------------------------------------
-        diffs = np.diff(M, axis=1)  # (B, 511)
+        # narrow: diff on the int32 view (values < 2^31 so deltas fit int32);
+        # uint32 diff would wrap on decreasing runs
+        diffs = np.diff(M.view(np.int32) if narrow else M, axis=1)  # (B, 511)
         dmin = diffs.min(axis=1)
         dmax = diffs.max(axis=1)
         fd = diffs[:, 0]
         # int64-overflow guard: diffs only trustworthy when the block's value
-        # range fits in 63 bits (always true for int32-domain token streams)
-        range_ok = (M.max(axis=1).view(np.uint64) - M.min(axis=1).view(np.uint64)) < (
-            np.uint64(1) << np.uint64(63)
-        )
+        # range fits in 63 bits (always true in narrow mode)
+        if narrow:
+            range_ok = np.ones(B, dtype=bool)
+        else:
+            range_ok = (
+                M.max(axis=1).view(np.uint64) - M.min(axis=1).view(np.uint64)
+            ) < (np.uint64(1) << np.uint64(63))
         const_delta = (dmin == dmax) & range_ok
         mono_ok = ((dmin >= 0) | ((dmax <= 0) & (fd < 0))) & range_ok
-        base_enc = zigzag(M[:, 0]) if signed else M[:, 0].view(np.uint64)
+        if narrow:
+            base_enc = M[:, 0].astype(np.uint64)
+        else:
+            base_enc = zigzag(M[:, 0]) if signed else M[:, 0].view(np.uint64)
         vl_base = _uvarint_len(base_enc)
-        vl_fd = _uvarint_len(zigzag(fd))
+        vl_fd = _uvarint_len(zigzag(fd.astype(np.int64)))
         cost_delta_fixed = np.where(const_delta, 2 + vl_base + vl_fd, 1 << 30)
 
         # delta-packed stats only for eligible blocks (lazy: monotone blocks
-        # are rare in token streams, and abs() over all diffs is a 60MB copy)
+        # are rare in token streams, and abs() over all diffs is a big copy)
         w_dp = np.zeros(B, dtype=np.int64)
         cost_delta_packed = np.full(B, 1 << 30, dtype=np.int64)
         dp_idx = np.nonzero(mono_ok & ~const_delta)[0]
         if len(dp_idx):
-            dabs_max = np.abs(diffs[dp_idx, 1:]).view(np.uint64).max(axis=1)
-            w_dp[dp_idx] = _CLOSED_LUT[np.maximum(bit_length(dabs_max), 2)]  # width 1 invalid in DELTA
+            dabs = np.abs(diffs[dp_idx, 1:])
+            dabs_max = (
+                dabs.view(np.uint32) if narrow else dabs.view(np.uint64)
+            ).max(axis=1)
+            w_dp[dp_idx] = _CLOSED_LUT[np.maximum(bit_length(dabs_max.astype(np.uint64)), 2)]  # width 1 invalid in DELTA
             cost_delta_packed[dp_idx] = (
                 2 + vl_base[dp_idx] + vl_fd[dp_idx] + (510 * w_dp[dp_idx] + 7) // 8
             )
 
         # --- PATCHED_BASE estimate ---------------------------------------
         base = M.min(axis=1)
-        reduced = (M.view(np.uint64) - base[:, None].view(np.uint64))  # exact range
+        if narrow:
+            reduced = M - base[:, None]  # uint32, exact (M >= base)
+        else:
+            reduced = M.view(np.uint64) - base[:, None].view(np.uint64)
         # bit lengths as uint8 + partition (two order statistics, not a full
         # sort): 8x less traffic than the int64 sort this replaced — the
         # stats pass is the hot loop at 100-core concurrency
@@ -125,7 +166,10 @@ def _encode_full_blocks(M: np.ndarray, signed: bool) -> list[bytes]:
         w100 = part[:, -1].astype(np.int64)
         npatch_est = (blr > wp.astype(np.uint8)[:, None]).sum(axis=1)
         pw_est = _CLOSED_LUT[np.maximum(w100 - wp, 1)]
-        bw = np.minimum((bit_length(np.abs(base).view(np.uint64)) + 1 + 7) // 8, 8)
+        if narrow:
+            bw = np.minimum((bit_length(base.astype(np.uint64)) + 1 + 7) // 8, 8)
+        else:
+            bw = np.minimum((bit_length(np.abs(base).view(np.uint64)) + 1 + 7) // 8, 8)
         bw = np.maximum(bw, 1)
         cfb_est = _CLOSED_LUT[np.minimum(8 + pw_est, 64)]
         cost_patched = np.where(
@@ -133,7 +177,7 @@ def _encode_full_blocks(M: np.ndarray, signed: bool) -> list[bytes]:
             & (npatch_est > 0)
             & (npatch_est <= 31)
             & (wp + pw_est <= 64)
-            & (base > np.iinfo(np.int64).min),  # abs(base) must not overflow
+            & (narrow | (base > np.iinfo(np.int64).min)),  # abs(base) overflow
             4 + bw + 64 * wp + (npatch_est * cfb_est + 7) // 8,
             1 << 30,
         )
@@ -165,7 +209,8 @@ def _encode_full_blocks(M: np.ndarray, signed: bool) -> list[bytes]:
         buf = bytearray([0xC0 | (encode_width(w) << 1) | 1, 0xFF])
         _write_base(buf, int(M[i, 0]), signed)
         write_svarint(buf, int(fd[i]))
-        body = pack(np.abs(diffs[i, 1:]).view(np.uint64), w)
+        dline = np.abs(diffs[i, 1:])
+        body = pack(dline.view(np.uint32) if narrow else dline.view(np.uint64), w)
         out[i] = bytes(buf) + body
 
     # PATCHED_BASE — fully vectorized across blocks: per-block widths/gaps via
@@ -187,7 +232,7 @@ def _encode_full_blocks(M: np.ndarray, signed: bool) -> list[bytes]:
             prev[starts] = 0  # first patch's gap is its absolute index
             gaps = (cols - prev).astype(np.uint64)
             redP = reduced[pat_idx]
-            pv = redP[rows, cols] >> wpP[rows].astype(np.uint64)
+            pv = redP[rows, cols].astype(np.uint64) >> wpP[rows].astype(np.uint64)
             # gaps > 255 don't fit the 8-bit gap field: split with (255, 0)
             # dummy entries, exactly as the ORC writer does
             if bool((gaps > 255).any()):

@@ -60,7 +60,11 @@ class _BlobWriter:
 def _int_stats(arr: np.ndarray) -> dict:
     if len(arr) == 0:
         return {"min": None, "max": None, "sum": 0}
-    return {"min": int(arr.min()), "max": int(arr.max()), "sum": int(arr.sum())}
+    return {
+        "min": int(arr.min()),
+        "max": int(arr.max()),
+        "sum": int(arr.sum(dtype=np.int64)),
+    }
 
 
 def _encode_int_column(w: _BlobWriter, name: str, arr: pa.Array, streams: list, col_meta: dict):
@@ -113,9 +117,10 @@ def _encode_list_column(w: _BlobWriter, name: str, arr: pa.Array, streams: list,
         arr = arr.drop_null()
     arr = arr.cast(pa.list_(pa.int32()))
     lens = np.asarray(arr.value_lengths(), dtype=np.int64)
-    flat = np.ascontiguousarray(
-        arr.flatten().cast(pa.int64()).to_numpy(zero_copy_only=False), dtype=np.int64
-    )
+    # keep the flattened tokens int32: encode_rlev2's narrow path runs the
+    # whole stats+pack pipeline in uint32 (half the memory traffic of the
+    # previous int64 widening — the dominant byte stream of the table)
+    flat = np.ascontiguousarray(arr.flatten().to_numpy(zero_copy_only=False))
     streams.append(w.add(name, "LENGTH", encode_rlev2(lens, signed=False), {"codec": "rle2", "signed": False, "n": len(lens)}))
     plan = chooser.choose_int(flat)
     raw = encode_int_stream(flat, plan["codec"], plan["signed"])
