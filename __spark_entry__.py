@@ -69,21 +69,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from orc_spark import relational, similarity, textops
-    from orc_spark.flagship import codec_plan_report, encode_roundtrip_metrics
+    from orc_spark.flagship import codec_plan_report, encode_roundtrip_summary
     from orc_spark.multimodal import multimodal_meta
 
     def _enc(spark, sf_dir):
         _ship(spark)
-        return encode_roundtrip_metrics(spark, sf_dir)
+        return encode_roundtrip_summary(spark, sf_dir)
+
+    def _plan(spark, sf_dir):
+        _ship(spark)
+        return codec_plan_report(spark, sf_dir)
 
     def _mm(spark, sf_dir):
         _ship(spark)
         return multimodal_meta(spark, sf_dir)
 
     return {
-        # engine pipeline (non-SQL: rows-only checks)
+        # engine pipeline: encode→decode→verify round-trip, HARD-gated by a
+        # DuckDB oracle (per-source decoded aggregates; tokenizer is
+        # md5-prefix hashed so the oracle re-derives identical token ids)
         "encode_roundtrip": _enc,
-        "codec_plan": lambda s, d: codec_plan_report(s, d),
+        # codec auto-selection report (engine-internal decisions: rows-only)
+        "codec_plan": _plan,
         # text analysis
         "corpus_stats": textops.corpus_stats,
         "token_counts": textops.token_counts,
@@ -99,8 +106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "topk_cosine": similarity.topk_cosine,
         "lsh_buckets": similarity.lsh_buckets,
+        "lsh_ann_candidates": similarity.lsh_ann_candidates,
         "embed_dup_pairs": similarity.embedding_dup_pairs,
         "ivf_assign": similarity.ivf_assign,
+        "ivf_list_sizes": similarity.ivf_list_sizes,
         "token_counts_bpe": textops.token_counts_bpe,
         # multimodal plumbing
         "multimodal_meta": _mm,
@@ -108,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": relational.pricing_summary,
         "nation_revenue": relational.nation_revenue,
         "events_daily": relational.events_hourly,
+        "windowed_stats": relational.events_windowed,
         "user_value_rank": relational.user_value_rank,
         "size_histogram": relational.size_histogram,
     }
@@ -160,6 +170,28 @@ def oracle_sql() -> dict[str, str]:
     h48_text = _H48.format(x="text")
     h48_word = _H48.format(x="x")
     return {
+        # the engine round-trip: DuckDB re-derives the tokens table from raw
+        # documents with the identical md5-prefix hash tokenizer and
+        # aggregates per source; the Spark side computes the same aggregates
+        # from the DECODED stripes, so a single flipped bit anywhere in
+        # encode→decode changes token_sum/doc_ids_md5 and fails the hash.
+        # verify_missing/extra are literal zeros: the Spark side's exact
+        # multiset verify must agree.
+        "encode_roundtrip": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS doc_ids_md5,
+                   CAST(0 AS BIGINT) AS verify_missing,
+                   CAST(0 AS BIGINT) AS verify_extra
+            FROM t GROUP BY source
+        """,
         "corpus_stats": """
             SELECT source,
                    count(*) AS n_docs,
@@ -296,7 +328,38 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt({_FOLD_DOT.format(a='vb', b='vb')}))
                        * 1000000) AS BIGINT) AS sim_f6
               FROM a, b WHERE id_a < id_b)
-            SELECT id_a, id_b, sim_f6 FROM p WHERE sim_f6 >= 990000
+            SELECT id_a, id_b, sim_f6 FROM p WHERE sim_f6 >= 400000
+        """,
+        "ivf_list_sizes": f"""
+            WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+            s AS (
+              SELECT e.vec_id, c.cid,
+                     CAST(floor((
+                       {_FOLD_DOT.format(a='e.embedding', b='e.embedding')}
+                       - 2 * {_FOLD_DOT.format(a='e.embedding', b='c.cv')}
+                       + {_FOLD_DOT.format(a='c.cv', b='c.cv')}
+                     ) * 1000000) AS BIGINT) AS d2_f6
+              FROM embeddings e, c),
+            assign AS (
+              SELECT vec_id, cid AS list_id FROM s
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2_f6 ASC, cid ASC) = 1)
+            SELECT list_id, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+            FROM assign GROUP BY list_id
+        """,
+        "lsh_ann_candidates": f"""
+            WITH d AS (
+              SELECT vec_id, p,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [CAST(embedding[i] AS DOUBLE) * ({_LSH_W})
+                        for i in range(1, len(embedding)+1)]),
+                       (x,y) -> x+y) AS dot
+              FROM embeddings, (SELECT unnest(range(0,8)) AS p)),
+            b AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2,p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+              FROM d GROUP BY vec_id)
+            SELECT x.bucket AS bucket, x.vec_id AS id_a, y.vec_id AS id_b
+            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
         """,
         "token_counts_bpe": """
             SELECT doc_id,
@@ -319,10 +382,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
             FROM b GROUP BY bucket
         """,
+        # first_byte is the leading UTF-8 BYTE of the payload (what a magic-
+        # number sniffer reads), not the code point — the CASE is the UTF-8
+        # leading-byte formula, so the oracle stays correct on non-ASCII text
         "multimodal_meta": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
-                   CAST(ascii(substr(text,1,1)) AS INTEGER) AS first_byte
+                   CAST(CASE WHEN length(text) = 0 THEN -1
+                             WHEN unicode(text) < 128 THEN unicode(text)
+                             WHEN unicode(text) < 2048 THEN 192 + unicode(text)//64
+                             WHEN unicode(text) < 65536 THEN 224 + unicode(text)//4096
+                             ELSE 240 + unicode(text)//262144 END AS INTEGER) AS first_byte
             FROM documents
         """,
         "pricing_summary": """
@@ -345,6 +415,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "windowed_stats": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_u
+            FROM events GROUP BY 1, 2, 3
         """,
         "events_daily": """
             SELECT CAST(ts AS DATE) AS day, event_type,

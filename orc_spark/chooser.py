@@ -51,7 +51,15 @@ def choose_int(arr: np.ndarray) -> dict:
     signed = bool(len(arr)) and int(arr.min()) < 0
     if len(arr) <= 16:
         return {"codec": "rle2", "signed": signed}
-    sample = arr[:INT_TRIAL]
+    if len(arr) > 3 * INT_TRIAL:
+        # head + middle + tail strides: an unrepresentative prefix (constant
+        # or narrow-range head of a stream that widens later) can no longer
+        # lock in 'for'/'bitpack' and inflate the full stream
+        third = INT_TRIAL // 3
+        mid = (len(arr) - third) // 2
+        sample = np.concatenate([arr[:third], arr[mid : mid + third], arr[-third:]])
+    else:
+        sample = arr[:INT_TRIAL]
     best, best_len = "rle2", None
     for codec in ("rle2", "for", "bitpack"):
         ln = len(encode_int_stream(sample, codec, signed))

@@ -20,12 +20,32 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 META_SCHEMA = "doc_id string, kind string, n_bytes long, first_byte int, md5_prefix string"
 FEATURE_DIM = 16
 FEATURE_SCHEMA = f"doc_id string, features array<float>"
 FRAME_SCHEMA = "doc_id string, frame_idx int, frame_offset long"
+
+
+def _binary_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, data) numpy views over an Arrow binary array's buffers —
+    the zero-copy path that lets payload metadata extraction stay fully
+    vectorized (no per-row Python over the blobs)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None and len(buf)
+        else np.empty(0, dtype=np.uint8)
+    )
+    return offsets, data
 
 
 def binarize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,27 +59,40 @@ def binarize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def extract_meta(df: DataFrame) -> DataFrame:
-    """Typed metadata from opaque payloads — vectorized pandas over Arrow
-    batches; the pattern a real magic-number sniffer / EXIF reader uses."""
+    """Typed metadata from opaque payloads — Arrow batches decomposed to
+    numpy buffer views (offsets/data), so lengths and first bytes are pure
+    vector ops; the pattern a real magic-number sniffer / EXIF reader uses.
+    Only md5 (per-row by nature) loops, over zero-copy memoryviews."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payload = pdf["payload"]
-            yield pd.DataFrame(
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            pay = batch.column(batch.schema.get_field_index("payload"))
+            offsets, data = _binary_buffers(pay)
+            lens = np.diff(offsets)
+            starts = np.minimum(offsets[:-1], max(len(data) - 1, 0))
+            first = np.where(
+                lens > 0,
+                data[starts] if len(data) else np.int32(-1),
+                np.int32(-1),
+            ).astype(np.int32)
+            mv = memoryview(data)
+            md5s = [
+                hashlib.md5(mv[s:e]).hexdigest()[:16]
+                for s, e in zip(offsets[:-1].tolist(), offsets[1:].tolist())
+            ]
+            yield pa.record_batch(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": payload.str.len().astype("int64"),
-                    "first_byte": payload.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int32"),
-                    "md5_prefix": payload.map(
-                        lambda b: hashlib.md5(b).hexdigest()[:16]
+                    "doc_id": batch.column(
+                        batch.schema.get_field_index("doc_id")
                     ),
+                    "kind": batch.column(batch.schema.get_field_index("kind")),
+                    "n_bytes": pa.array(lens, type=pa.int64()),
+                    "first_byte": pa.array(first, type=pa.int32()),
+                    "md5_prefix": pa.array(md5s, type=pa.string()),
                 }
             )
 
-    return df.mapInPandas(run, META_SCHEMA)
+    return df.mapInArrow(run, META_SCHEMA)
 
 
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
@@ -92,26 +125,32 @@ def fake_decode_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: emits one row per
     sampled 'frame' offset (the fan-out shape of real frame extraction —
-    1 input row → many output rows, still partition-local)."""
+    1 input row → many output rows, still partition-local). The fan-out is
+    the vectorized repeat/arange idiom — no per-frame Python loop."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, offs = [], [], []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                n = max(1, len(b) // every_n_bytes)
-                for i in range(n):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    offs.append(i * every_n_bytes)
-            yield pd.DataFrame(
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            pay = batch.column(batch.schema.get_field_index("payload"))
+            offsets, _ = _binary_buffers(pay)
+            lens = np.diff(offsets)
+            n_frames = np.maximum(lens // every_n_bytes, 1)
+            ends = np.cumsum(n_frames)
+            starts = ends - n_frames
+            idxs = (np.arange(ends[-1] if len(ends) else 0) - np.repeat(starts, n_frames)).astype(np.int32)
+            ids = batch.column(batch.schema.get_field_index("doc_id")).take(
+                pa.array(np.repeat(np.arange(len(n_frames)), n_frames))
+            )
+            yield pa.record_batch(
                 {
-                    "doc_id": pd.Series(ids, dtype="string"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "doc_id": ids.cast(pa.string()),
+                    "frame_idx": pa.array(idxs, type=pa.int32()),
+                    "frame_offset": pa.array(
+                        idxs.astype(np.int64) * every_n_bytes, type=pa.int64()
+                    ),
                 }
             )
 
-    return df.mapInPandas(run, FRAME_SCHEMA)
+    return df.mapInArrow(run, FRAME_SCHEMA)
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -292,17 +292,13 @@ def decode_table(
     return sdf.mapInArrow(decode_partition, out_schema)
 
 
-def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> dict:
-    """Bit-equality gate (BASELINE.json:15): per-row token-array equality as
-    an exact multiset difference — union with +1/-1 tags, group by the full
-    row, keep nonzero sums. Semantically identical to symmetric exceptAll
-    (the probe-verified pattern, SURVEY.md [PROBE-4]) but one shuffle and one
-    pass over each side instead of two of each (halves verify wall time)."""
-    cols = decoded.columns
-    a = original.select(*cols).withColumn("_tag", F.lit(1))
-    b = decoded.select(*cols).withColumn("_tag", F.lit(-1))
+def _multiset_diff_counts(a: DataFrame, b: DataFrame, cols: list[str]) -> dict:
+    """Exact multiset difference via union with +1/-1 tags — one shuffle and
+    one pass over each side (semantically identical to symmetric exceptAll,
+    the probe-verified pattern from SURVEY.md [PROBE-4], at half the cost)."""
     diff = (
-        a.unionAll(b)
+        a.select(*cols).withColumn("_tag", F.lit(1))
+        .unionAll(b.select(*cols).withColumn("_tag", F.lit(-1)))
         .groupBy(*cols)
         .agg(F.sum("_tag").alias("_d"))
         .where(F.col("_d") != 0)
@@ -311,5 +307,27 @@ def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> dict:
         F.coalesce(F.sum(F.when(F.col("_d") > 0, F.col("_d"))), F.lit(0)).alias("missing"),
         F.coalesce(F.sum(F.when(F.col("_d") < 0, -F.col("_d"))), F.lit(0)).alias("extra"),
     ).collect()[0]
-    missing, extra = int(row["missing"]), int(row["extra"])
-    return {"missing": missing, "extra": extra, "ok": missing == 0 and extra == 0}
+    return {"missing": int(row["missing"]), "extra": int(row["extra"])}
+
+
+def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> dict:
+    """Bit-equality gate (BASELINE.json:15): per-row token-array equality.
+
+    Hash-first: each side is reduced to a 128-bit md5 row digest (md5 of the
+    row's JSON rendering — JVM-side, narrow) BEFORE the multiset-diff
+    shuffle, so the verify exchange moves ~16 bytes/row instead of the full
+    token payload (~50× less shuffle at typical document lengths; at 100 TB
+    the verify shuffle would otherwise be 2× corpus bytes). On a digest
+    mismatch the exact full-row multiset diff re-runs as the drilldown so
+    reported missing/extra counts stay exact row counts, not digest counts."""
+    cols = decoded.columns
+
+    def digested(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]))).alias("_rd")
+        )
+
+    res = _multiset_diff_counts(digested(original), digested(decoded), ["_rd"])
+    if res["missing"] or res["extra"]:
+        res = _multiset_diff_counts(original, decoded, cols)
+    return {**res, "ok": res["missing"] == 0 and res["extra"] == 0}

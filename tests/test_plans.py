@@ -76,6 +76,64 @@ def test_encode_plan_has_single_shuffle(spark):
     assert "rangepartitioning" not in plan.lower()
 
 
+def test_simhash_no_row_amplification(spark):
+    """simhash32 must not multiply the exploded word table before its
+    shuffle: the 32 per-bit votes are aggregate columns, not a ×32 join."""
+    from orc_spark.textops import simhash32
+
+    plan = _plan(simhash32(spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan  # map-side combinable
+
+
+def test_minhash_no_row_amplification(spark):
+    """minhash signatures: k hashes are k columns of the shingle row, not a
+    ×k crossJoin; one keyed shuffle total."""
+    from orc_spark.textops import minhash_signatures
+
+    plan = _plan(minhash_signatures(spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivf_assign_aggregates_not_window(spark):
+    """argmin via packed-long min aggregate: no Window, no Sort — a window
+    would shuffle 16× the corpus and sort within every vec_id group."""
+    from orc_spark.similarity import ivf_assign
+
+    plan = _plan(ivf_assign(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_topk_cosine_prereduced_window(spark):
+    """the final top-k window must be fed by a PARTIAL per-partition top-k
+    (WindowGroupLimit), never the full sim table on n_queries tasks."""
+    from orc_spark.similarity import topk_cosine
+
+    df = topk_cosine(spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan so all stages are visible
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # the pre-exchange top-k reduction
+
+
+def test_codec_plan_report_no_driver_collect(spark):
+    """codec_plan probe runs executor-side: the plan ends in mapInArrow over
+    a 1-partition limit, with no toPandas/collect of the input."""
+    from orc_spark.flagship import codec_plan_report
+
+    df = codec_plan_report(spark, SF_DIR)
+    plan = _plan(df)
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan or "ArrowEvalPython" in plan
+    rows = df.collect()
+    assert len(rows) >= 6  # one row per (column, stream)
+    cols = {r["column"] for r in rows}
+    assert {"doc_id", "tokens", "n_tok", "source"} <= cols
+
+
 def test_whole_stage_codegen_covers_textops(spark):
     from orc_spark.textops import quality_scores
 
