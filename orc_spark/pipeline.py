@@ -5,7 +5,12 @@ Physical plan (SURVEY.md §3.3) — one shuffle total:
 
   scan (parquet, column-pruned by Catalyst)
     -> repartition(N, pid)            pid = source + '#' + xxhash64(doc_id)%S
-    -> sortWithinPartitions(pid, doc_id)      deterministic stripe content
+    -> sortWithinPartitions(pid)      clusters pids; rows are re-sorted by
+                                      doc_id per stripe in the encoder, so
+                                      stripe CONTENT is deterministic while
+                                      stripe BOUNDARIES follow arrival order
+                                      (the documented relaxation — see
+                                      BASELINE.md "Determinism contract")
     -> mapInArrow(encode)             numpy codecs per Arrow batch; each task
                                       streams finished stripes straight into
                                       per-pid parquet files (temp + atomic
@@ -70,6 +75,43 @@ def with_pid(df: DataFrame, salt_buckets: int) -> DataFrame:
             "#", F.col("source"), F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets)).cast("string")
         ),
     )
+
+
+def rebalance_by_tokens(dfp: DataFrame, max_pid_tokens: int) -> tuple[DataFrame, dict]:
+    """Size-aware rebalance (SURVEY.md §2.2): cap each logical partition's
+    token mass. The uniform salt bounds *expected* mass, but an adversarial
+    source×bucket (a burst of giant documents hashing together) can still
+    land one task with many × the ideal share; this pass splits exactly
+    those buckets.
+
+    One column-pruned aggregation over (pid, n_tok) — at 100 TB that is a
+    narrow two-column scan with a map-side-combined shuffle onto
+    O(sources × salt_buckets) keys, and only that driver-sized key list is
+    collected. Overweight pids are re-salted into ceil(mass/cap) sub-buckets
+    by an independent hash (xxhash64 over (doc_id, 1)). Deterministic for a
+    given input, so resume runs recompute identical pid names. The per-pid
+    bound becomes max(cap(1+ε), largest single document) — rows are atomic.
+
+    Returns (df with split pids, {pid: n_splits})."""
+    mass = dfp.groupBy("pid").agg(F.sum("n_tok").alias("m")).collect()
+    splits = {
+        r["pid"]: -(-int(r["m"]) // max_pid_tokens)
+        for r in mass
+        if int(r["m"]) > max_pid_tokens
+    }
+    if not splits:
+        return dfp, {}
+    k = F.create_map(
+        *[x for pid, n in sorted(splits.items()) for x in (F.lit(pid), F.lit(n))]
+    )[F.col("pid")]
+    sub = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), k).cast("string")
+    out = dfp.withColumn(
+        "pid",
+        F.when(k.isNotNull(), F.concat_ws("#", F.col("pid"), sub)).otherwise(
+            F.col("pid")
+        ),
+    )
+    return out, splits
 
 
 class _PidWriter:
@@ -194,13 +236,20 @@ def encode_table(
     stripe_tokens: int = DEFAULT_STRIPE_TOKENS,
     num_partitions: int | None = None,
     resume: bool = True,
+    max_pid_tokens: int | None = None,
 ) -> dict:
     """Encode a (doc_id, tokens, n_tok, source) DataFrame into the warehouse;
     returns the committed manifest. Resumable: committed partitions are
-    skipped, complete-but-uncommitted files from a killed run are adopted."""
+    skipped, complete-but-uncommitted files from a killed run are adopted.
+    `max_pid_tokens` enables the size-aware rebalance: overweight logical
+    partitions are split before the (single) shuffle. The split decision runs
+    on the FULL input — before the resume filter — so a resumed run derives
+    the same pid names as the killed one."""
     wh = Warehouse(warehouse_path)
     schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     dfp = with_pid(df, salt_buckets)
+    if max_pid_tokens:
+        dfp, _ = rebalance_by_tokens(dfp, max_pid_tokens)
 
     committed = wh.committed_pids(snapshot) if resume else set()
     if resume:

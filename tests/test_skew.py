@@ -60,3 +60,90 @@ def test_salt_is_deterministic(skewed_df):
     a = sorted(with_pid(skewed_df, SALT).select("doc_id", "pid").collect())
     b = sorted(with_pid(skewed_df, SALT).select("doc_id", "pid").collect())
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def giant_doc_df(spark, tmp_path_factory):
+    """Adversary salt alone cannot fix: one source is a burst of giant
+    documents — every salt bucket of it is >2x the cap."""
+    n_hot, n_cold = 2000, 4000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(
+                [f"h{i:08d}" for i in range(n_hot)]
+                + [f"c{i:08d}" for i in range(n_cold)]
+            ),
+            "tokens": pa.array(
+                [[1] * 3] * (n_hot + n_cold), type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array(
+                [40_000] * n_hot + [100] * n_cold, type=pa.int32()
+            ),
+            "source": pa.array(["hot"] * n_hot + ["cold"] * n_cold),
+        }
+    )
+    p = tmp_path_factory.mktemp("giant")
+    pq.write_table(tbl, str(p / "t.parquet"))
+    return spark.read.parquet(str(p))
+
+
+def test_rebalance_caps_pid_token_mass(giant_doc_df):
+    from orc_spark.pipeline import rebalance_by_tokens
+
+    cap = 1_000_000  # hot source: 80M tokens over 16 salt buckets = 5M each
+    dfp = with_pid(giant_doc_df, SALT)
+    before = {
+        r["pid"]: r["m"]
+        for r in dfp.groupBy("pid").agg(F.sum("n_tok").alias("m")).collect()
+    }
+    assert max(before.values()) > 2 * cap  # salt alone leaves >2x stragglers
+
+    out, splits = rebalance_by_tokens(dfp, cap)
+    after = {
+        r["pid"]: r["m"]
+        for r in out.groupBy("pid").agg(F.sum("n_tok").alias("m")).collect()
+    }
+    # every overweight pid was split by its ceil(mass/cap) factor
+    assert splits and all(pid.startswith("hot#") for pid in splits)
+    assert all(k == -(-before[pid] // cap) for pid, k in splits.items())
+    # sub-salting is uniform, not exact bin packing: allow sampling slack
+    # over the largest-single-doc floor
+    assert max(after.values()) <= 1.8 * cap
+    # underweight pids untouched; total mass conserved
+    assert all(after[pid] == m for pid, m in before.items() if pid.startswith("cold#"))
+    assert sum(after.values()) == sum(before.values())
+
+
+def test_rebalance_is_deterministic(giant_doc_df):
+    from orc_spark.pipeline import rebalance_by_tokens
+
+    dfp = with_pid(giant_doc_df, SALT)
+    a, sa = rebalance_by_tokens(dfp, 1_000_000)
+    b, sb = rebalance_by_tokens(dfp, 1_000_000)
+    assert sa == sb
+    assert sorted(a.select("doc_id", "pid").collect()) == sorted(
+        b.select("doc_id", "pid").collect()
+    )
+
+
+def test_rebalanced_encode_roundtrips(giant_doc_df, tmp_path_factory):
+    """The split pids flow through encode -> manifest -> decode unchanged."""
+    from orc_spark.pipeline import decode_table, encode_table, verify_roundtrip
+
+    wh = str(tmp_path_factory.mktemp("rbwh"))
+    spark = giant_doc_df.sparkSession
+    manifest = encode_table(
+        spark,
+        giant_doc_df,
+        wh,
+        snapshot="rb",
+        salt_buckets=SALT,
+        stripe_tokens=500_000,
+        max_pid_tokens=1_000_000,
+    )
+    assert any(p.count("#") == 2 for p in manifest["partitions"])  # split pids
+    assert all(
+        p["n_tokens"] <= 1_800_000 for p in manifest["partitions"].values()
+    )
+    res = verify_roundtrip(giant_doc_df, decode_table(spark, wh, snapshot="rb"))
+    assert res["ok"]
