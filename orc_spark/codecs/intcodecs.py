@@ -29,7 +29,7 @@ def encode_bitpack(arr: np.ndarray, signed: bool) -> bytes:
     with np.errstate(over="ignore"):
         u = zigzag(a) if signed else a.view(np.uint64)
         w = closest_width(max(1, int(bit_length(u).max())))
-    return bytes([encode_width(w)]) + pack(u, w)
+    return bytes([encode_width(w)]) + pack(u, w, mask_values=False)
 
 
 def decode_bitpack(buf, n: int, signed: bool) -> np.ndarray:
@@ -54,7 +54,7 @@ def encode_for(arr: np.ndarray, signed: bool) -> bytes:
             w = closest_width(max(1, int(bit_length(red).max())))
             out.append(encode_width(w))
             write_uvarint(out, zigzag_scalar(base))
-            out += pack(red, w)
+            out += pack(red, w, mask_values=False)
     return bytes(out)
 
 

@@ -24,6 +24,7 @@ import numpy as np
 
 from .bitpack import (
     bit_length,
+    bit_length_u8,
     closest_width,
     decode_width,
     encode_width,
@@ -106,42 +107,73 @@ def _encode_full_blocks(M: np.ndarray, signed: bool, narrow: bool = False) -> li
             zz = zigzag(M) if signed else M.view(np.uint64)
 
         # --- DIRECT cost -------------------------------------------------
-        w_dir_act = bit_length(zz.max(axis=1))
-        w_dir = _CLOSED_LUT[w_dir_act]
+        zzmax = zz.max(axis=1)
+        w_dir = _CLOSED_LUT[bit_length(zzmax)]
         cost_direct = 2 + 64 * w_dir  # 512*w/8
 
+        # block min/max in the VALUE domain (narrow: zz IS M; wide signed:
+        # zz is zigzagged, so take real extremes separately — wide is rare)
+        base = M.min(axis=1)
+        Mmax = zzmax.view(M.dtype) if (narrow or not signed) else M.max(axis=1)
+
         # --- DELTA eligibility + cost ------------------------------------
-        # narrow: diff on the int32 view (values < 2^31 so deltas fit int32);
-        # uint32 diff would wrap on decreasing runs
-        diffs = np.diff(M.view(np.int32) if narrow else M, axis=1)  # (B, 511)
-        dmin = diffs.min(axis=1)
-        dmax = diffs.max(axis=1)
-        fd = diffs[:, 0]
-        # int64-overflow guard: diffs only trustworthy when the block's value
-        # range fits in 63 bits (always true in narrow mode)
-        if narrow:
-            range_ok = np.ones(B, dtype=bool)
-        else:
-            range_ok = (
-                M.max(axis=1).view(np.uint64) - M.min(axis=1).view(np.uint64)
-            ) < (np.uint64(1) << np.uint64(63))
-        const_delta = (dmin == dmax) & range_ok
-        mono_ok = ((dmin >= 0) | ((dmax <= 0) & (fd < 0))) & range_ok
+        # endpoint monotonicity screen BEFORE materializing the full (B, 511)
+        # diff array: a monotone (or constant) block's first/last values ARE
+        # its extremes, and per-block min/max already exist — so the screen
+        # reads 2 columns instead of a strided sample (whose 64 B cache-line
+        # stride would re-read the whole array from DRAM). No false
+        # negatives; false positives just run the exact per-block diff.
+        # Typical token streams: ~0 candidates.
+        Msigned = M.view(np.int32) if narrow else M
+        first, last = M[:, 0], M[:, -1]
+        cand = ((first == base) & (last == Mmax)) | (
+            (first == Mmax) & (last == base)
+        )
+        cidx = np.nonzero(cand)[0]
+
+        fd = np.zeros(B, dtype=np.int64)
+        const_delta = np.zeros(B, dtype=bool)
+        mono_ok = np.zeros(B, dtype=bool)
+        dmin = np.zeros(B, dtype=np.int64)
+        dmax = np.zeros(B, dtype=np.int64)
+        diffsC = None  # full diffs for candidate blocks only
+        if len(cidx):
+            # narrow: diff on the int32 view (values < 2^31 so deltas fit
+            # int32); uint32 diff would wrap on decreasing runs
+            diffsC = np.diff(Msigned[cidx], axis=1)  # (C, 511)
+            dminC = diffsC.min(axis=1)
+            dmaxC = diffsC.max(axis=1)
+            fdC = diffsC[:, 0]
+            # int64-overflow guard: diffs only trustworthy when the block's
+            # value range fits in 63 bits (always true in narrow mode)
+            if narrow:
+                range_ok = np.ones(len(cidx), dtype=bool)
+            else:
+                range_ok = (
+                    Mmax[cidx].view(np.uint64) - base[cidx].view(np.uint64)
+                ) < (np.uint64(1) << np.uint64(63))
+            fd[cidx] = fdC
+            dmin[cidx] = dminC
+            dmax[cidx] = dmaxC
+            const_delta[cidx] = (dminC == dmaxC) & range_ok
+            mono_ok[cidx] = ((dminC >= 0) | ((dmaxC <= 0) & (fdC < 0))) & range_ok
         if narrow:
             base_enc = M[:, 0].astype(np.uint64)
         else:
             base_enc = zigzag(M[:, 0]) if signed else M[:, 0].view(np.uint64)
         vl_base = _uvarint_len(base_enc)
-        vl_fd = _uvarint_len(zigzag(fd.astype(np.int64)))
+        vl_fd = _uvarint_len(zigzag(fd))
         cost_delta_fixed = np.where(const_delta, 2 + vl_base + vl_fd, 1 << 30)
 
         # delta-packed stats only for eligible blocks (lazy: monotone blocks
         # are rare in token streams, and abs() over all diffs is a big copy)
         w_dp = np.zeros(B, dtype=np.int64)
         cost_delta_packed = np.full(B, 1 << 30, dtype=np.int64)
-        dp_idx = np.nonzero(mono_ok & ~const_delta)[0]
+        dp_mask = mono_ok & ~const_delta
+        dp_idx = np.nonzero(dp_mask)[0]
         if len(dp_idx):
-            dabs = np.abs(diffs[dp_idx, 1:])
+            dp_in_c = np.nonzero(dp_mask[cidx])[0]
+            dabs = np.abs(diffsC[dp_in_c, 1:])
             dabs_max = (
                 dabs.view(np.uint32) if narrow else dabs.view(np.uint64)
             ).max(axis=1)
@@ -151,20 +183,22 @@ def _encode_full_blocks(M: np.ndarray, signed: bool, narrow: bool = False) -> li
             )
 
         # --- PATCHED_BASE estimate ---------------------------------------
-        base = M.min(axis=1)
         if narrow:
             reduced = M - base[:, None]  # uint32, exact (M >= base)
         else:
             reduced = M.view(np.uint64) - base[:, None].view(np.uint64)
-        # bit lengths as uint8 + partition (two order statistics, not a full
-        # sort): 8x less traffic than the int64 sort this replaced — the
-        # stats pass is the hot loop at 100-core concurrency
-        blr = bit_length(reduced.reshape(-1)).astype(np.uint8).reshape(B, BLOCK)
+        # bit lengths straight to uint8 (float32-exponent kernel) + partition
+        # (two order statistics, not a full sort) — the per-value stats pass
+        # is the hot loop at 100-core concurrency, where DRAM bandwidth is
+        # the binding constraint, so every pass here is width-minimal
+        blr = bit_length_u8(reduced.reshape(-1)).reshape(B, BLOCK)
         part = np.partition(blr, (BLOCK - 32, BLOCK - 1), axis=1)
         wp_raw = np.maximum(part[:, BLOCK - 32].astype(np.int64), 1)  # <=31 above
         wp = _CLOSED_LUT[wp_raw]
         w100 = part[:, -1].astype(np.int64)
-        npatch_est = (blr > wp.astype(np.uint8)[:, None]).sum(axis=1)
+        # any blr > wp (>= the rank-(BLOCK-32) order statistic) lives in the
+        # top-32 positions of the partitioned row: count 32 values, not 512
+        npatch_est = (part[:, BLOCK - 32 :] > wp.astype(np.uint8)[:, None]).sum(axis=1)
         pw_est = _CLOSED_LUT[np.maximum(w100 - wp, 1)]
         if narrow:
             bw = np.minimum((bit_length(base.astype(np.uint64)) + 1 + 7) // 8, 8)
@@ -193,7 +227,7 @@ def _encode_full_blocks(M: np.ndarray, signed: bool, narrow: bool = False) -> li
         for w in np.unique(w_dir[dir_idx]):
             idx = dir_idx[w_dir[dir_idx] == w]
             hdr = bytes([0x40 | (encode_width(int(w)) << 1) | 1, 0xFF])
-            for i, body in zip(idx, pack_many(zz[idx], int(w))):
+            for i, body in zip(idx, pack_many(zz[idx], int(w), mask_values=False)):
                 out[i] = hdr + body
 
     # DELTA fixed
@@ -203,14 +237,15 @@ def _encode_full_blocks(M: np.ndarray, signed: bool, narrow: bool = False) -> li
         write_svarint(buf, int(fd[i]))
         out[i] = bytes(buf)
 
-    # DELTA packed
+    # DELTA packed (delta-chosen blocks are always screen candidates, so
+    # their full diff rows exist in diffsC)
     for i in np.nonzero(choice == 1)[0]:
         w = int(w_dp[i])
         buf = bytearray([0xC0 | (encode_width(w) << 1) | 1, 0xFF])
         _write_base(buf, int(M[i, 0]), signed)
         write_svarint(buf, int(fd[i]))
-        dline = np.abs(diffs[i, 1:])
-        body = pack(dline.view(np.uint32) if narrow else dline.view(np.uint64), w)
+        dline = np.abs(diffsC[np.searchsorted(cidx, i), 1:])
+        body = pack(dline.view(np.uint32) if narrow else dline.view(np.uint64), w, mask_values=False)
         out[i] = bytes(buf) + body
 
     # PATCHED_BASE — fully vectorized across blocks: per-block widths/gaps via
@@ -263,7 +298,7 @@ def _encode_full_blocks(M: np.ndarray, signed: bool, narrow: bool = False) -> li
                 i = pat_idx[k]
                 w = int(w_dir[i])
                 hdr = bytes([0x40 | (encode_width(w) << 1) | 1, 0xFF])
-                out[i] = hdr + pack(zz[i], w)
+                out[i] = hdr + pack(zz[i], w, mask_values=False)
             okk = np.nonzero(ok)[0]
             if len(okk):
                 sel_entries = ok[rows]  # keep only entries of ok rows
@@ -352,11 +387,11 @@ def _encode_block_scalar(block: np.ndarray, signed: bool) -> bytes:
                     )
                     _write_base(buf, int(vals[0]), signed)
                     write_svarint(buf, int(diffs[0]))
-                    return bytes(buf) + pack(dabs, w)
+                    return bytes(buf) + pack(dabs, w, mask_values=False)
         # DIRECT fallback
         w = closest_width(max(1, int(bit_length(zz).max())))
         hdr = bytes([0x40 | (encode_width(w) << 1) | ((L - 1) >> 8), (L - 1) & 0xFF])
-        return hdr + pack(zz, w)
+        return hdr + pack(zz, w, mask_values=False)
 
 
 # ---------------------------------------------------------------------------
