@@ -8,8 +8,9 @@ design (Boncz/Neumann/Leis, VLDB 2020 — see PAPERS.md): up to 255 symbols of
 Implementation notes (sandbox: numpy only, no compiled kernel):
 - symbol matching is vectorized: an 8-byte sliding window as uint64 compared
   against every symbol prefix (<=255 vector ops over the buffer);
-- the greedy longest-match parse is a light Python loop over emitted TOKENS
-  (not bytes) — strings are ~1.5% of the byte budget (SURVEY.md §1.3);
+- the greedy longest-match parse is vectorized by pointer doubling over the
+  hop graph hop[i] = i + bestlen[i] (log2(n) gather rounds mark the token
+  heads) — no per-token Python anywhere in the codec;
 - decode is fully vectorized (escape-run parity analysis + gather).
 
 Serialized stream: [uvarint n_sym][n_sym lengths (1B each)][concat symbol
@@ -61,24 +62,42 @@ def _match_table(data: np.ndarray, symbols: list[bytes]) -> tuple[np.ndarray, np
     return bestlen, bestcode
 
 
-def _parse(bestlen: np.ndarray, bestcode: np.ndarray, data: np.ndarray) -> bytearray:
-    """Greedy left-to-right token emission (loop over tokens, not bytes)."""
-    out = bytearray()
-    n = len(data)
-    pos = 0
-    bl = bestlen.tolist()
-    bc = bestcode.tolist()
-    dv = data.tolist()
-    while pos < n:
-        c = bc[pos]
-        if c == ESCAPE:
-            out.append(ESCAPE)
-            out.append(dv[pos])
-            pos += 1
-        else:
-            out.append(c)
-            pos += bl[pos]
-    return out
+def _token_starts(bestlen: np.ndarray) -> np.ndarray:
+    """Positions where greedy left-to-right tokens start — the orbit of 0
+    under hop[i] = i + bestlen[i], computed by pointer doubling (log2(n)
+    vectorized gather rounds) instead of a per-token Python walk. Escape
+    positions have bestlen 1, so the hop graph needs no special casing."""
+    n = len(bestlen)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    hop = np.minimum(np.arange(n, dtype=np.int64) + bestlen, n)
+    H = np.append(hop, n)  # sentinel: n hops to itself
+    A = np.zeros(n + 1, dtype=bool)
+    A[0] = True
+    steps = 1
+    while steps < n:
+        # invariant: A marks heads within the first `steps` hops and H is
+        # hop^steps — one round doubles both
+        A[H[A]] = True
+        H = H[H]
+        steps <<= 1
+    return np.nonzero(A[:n])[0]
+
+
+def _parse(bestlen: np.ndarray, bestcode: np.ndarray, data: np.ndarray) -> bytes:
+    """Greedy token emission, fully vectorized (no per-token Python)."""
+    heads = _token_starts(bestlen)
+    if len(heads) == 0:
+        return b""
+    hc = bestcode[heads]
+    esc = hc == ESCAPE
+    out_lens = np.where(esc, 2, 1)
+    offs = np.cumsum(out_lens) - out_lens
+    out = np.empty(int(offs[-1] + out_lens[-1]), dtype=np.uint8)
+    out[offs] = hc.astype(np.uint8)  # ESCAPE == 255 writes the marker itself
+    eidx = np.nonzero(esc)[0]
+    out[offs[eidx] + 1] = data[heads[eidx]]
+    return out.tobytes()
 
 
 def train(sample: bytes | np.ndarray, iterations: int = 4) -> list[bytes]:
@@ -92,15 +111,7 @@ def train(sample: bytes | np.ndarray, iterations: int = 4) -> list[bytes]:
     symbols: list[bytes] = []
     for _ in range(iterations):
         bestlen, bestcode = _match_table(data, symbols)
-        # token start positions via the parse walk
-        starts = []
-        pos = 0
-        bl = bestlen.tolist()
-        n = len(data)
-        while pos < n:
-            starts.append(pos)
-            pos += bl[pos]
-        starts = np.array(starts, dtype=np.int64)
+        starts = _token_starts(bestlen)
         tok_len = bestlen[starts]
         w = _windows(data)
         gains: dict[bytes, int] = {}
@@ -141,7 +152,7 @@ def compress(data: bytes | np.ndarray, symbols: list[bytes]) -> bytes:
     header += bytes(len(s) for s in symbols)
     header += b"".join(symbols)
     bestlen, bestcode = _match_table(arr, symbols)
-    return bytes(header) + bytes(_parse(bestlen, bestcode, arr))
+    return bytes(header) + _parse(bestlen, bestcode, arr)
 
 
 def _read_table(mv, i: int) -> tuple[list[bytes], int]:
