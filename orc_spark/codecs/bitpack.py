@@ -215,7 +215,22 @@ def unpack(buf, n: int, width: int) -> np.ndarray:
     return np.packbits(full, axis=1).reshape(n, nbytes).view(dt).ravel().astype(np.uint64)
 
 
-def _unpack_aligned_lanes(buf, n: int, w: int) -> np.ndarray:
+def unpack_u32(buf, n: int, width: int) -> np.ndarray:
+    """unpack() variant returning uint32 (width <= 32) — skips the uint64
+    widening of the generic API for narrow decode paths."""
+    assert width <= 32
+    if n == 0 or width == 0:
+        return np.zeros(n, dtype=np.uint32)
+    if (n * width) % 32 == 0 and n >= 64:
+        import math
+
+        P = math.lcm(32, width) // width
+        if 2 * P + 2 < 12 or n // P >= 1024:
+            return _unpack_aligned_lanes(buf, n, width, widen=False)
+    return unpack(buf, n, width).astype(np.uint32)
+
+
+def _unpack_aligned_lanes(buf, n: int, w: int, widen: bool = True) -> np.ndarray:
     """Extract n w-bit values from 32-bit big-endian words (n*w % 32 == 0)."""
     import math
 
@@ -241,7 +256,7 @@ def _unpack_aligned_lanes(buf, n: int, w: int) -> np.ndarray:
             lo = words[wi + 1 :: L][:cnt] >> np.uint32(word + sh)
             vals = (hi | lo) & mask
         out[r::P] = vals
-    return out.astype(np.uint64)
+    return out.astype(np.uint64) if widen else out
 
 
 def varpack_rows(

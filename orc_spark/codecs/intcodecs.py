@@ -94,5 +94,9 @@ def encode_int_stream(arr, codec: str, signed: bool) -> bytes:
     return _ENCODERS[codec](arr, signed)
 
 
-def decode_int_stream(buf, n: int, codec: str, signed: bool) -> np.ndarray:
+def decode_int_stream(buf, n: int, codec: str, signed: bool, dtype=np.int64) -> np.ndarray:
+    """dtype=np.int32 selects the narrow decode path (rle2 only) — caller
+    must prove 0 <= min <= max < 2^31 from the stripe footer stats."""
+    if dtype == np.int32 and codec == "rle2" and not signed:
+        return decode_rlev2(buf, n, signed=False, dtype=np.int32)
     return _DECODERS[codec](buf, n, signed)

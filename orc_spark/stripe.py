@@ -219,14 +219,31 @@ def decode_stripe(blob: bytes, footer: dict, columns: list[str] | None = None) -
             lraw, ls = _get_stream(blob, streams, "LENGTH")
             lens = decode_rlev2(lraw, ls["n"], signed=False)
             draw, ds = _get_stream(blob, streams, "DATA")
-            flat = decode_int_stream(draw, ds["n"], ds["codec"], ds["signed"])
+            # narrow decode: the footer stats prove the child values fit
+            # int32, so the dominant stream never widens to int64 (half the
+            # decode output traffic) — the stats gate keeps liborc-style
+            # wide streams on the generic path
+            st = meta.get("stats", {})
+            narrow = (
+                not ds["signed"]
+                and st.get("min") is not None
+                and st["min"] >= 0
+                and st.get("max", 1 << 31) < (1 << 31)
+            )
+            flat = decode_int_stream(
+                draw, ds["n"], ds["codec"], ds["signed"],
+                dtype=np.int32 if narrow else np.int64,
+            )
             offs64 = np.zeros(len(lens) + 1, dtype=np.int64)
             offs64[1:] = np.cumsum(lens, dtype=np.int64)
             if offs64[-1] > np.iinfo(np.int32).max:
                 raise ValueError("stripe list column exceeds int32 offsets; lower stripe rows")
             arr = pa.ListArray.from_arrays(
                 pa.array(offs64.astype(np.int32), type=pa.int32()),
-                pa.array(flat.astype(np.int32), type=pa.int32()),
+                pa.array(
+                    flat if flat.dtype == np.int32 else flat.astype(np.int32),
+                    type=pa.int32(),
+                ),
             )
             arr = _apply_present(arr, present)
         else:
