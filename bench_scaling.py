@@ -59,7 +59,13 @@ def _run(inp: str, wh: str, cpus: int, retries: int = 1, pin: bool = False) -> d
            # threads interleave on the same core (mild oversubscription
            # pipelines stalls; measured faster than cores/2 tasks when the
            # process tree is pinned to its core budget)
-           "--partitions", str(cpus)]
+           "--partitions", str(cpus),
+           # bucket count per the pipeline capacity rule (S ~ bytes /
+           # (n_sources x target-partition-size)): a 1.3 GB input needs few
+           # buckets; 32 would fragment each task across 160 tiny pids, a
+           # small-scale artifact no real deployment hits. Identical for
+           # both cluster sizes, so the ratio is unaffected by the choice.
+           "--salt-buckets", "8"]
     if pin:
         # confine the WHOLE process tree (JVM incl. GC/shuffle threads +
         # Python workers) to exactly `cpus` hardware threads — local[N] alone

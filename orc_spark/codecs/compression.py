@@ -13,7 +13,10 @@ import zlib
 
 import pyarrow as pa
 
-_ZSTD_LEVEL = 3
+# level 1 measured BOTH smaller and 4.5x faster than level 3 on RLEv2-packed
+# token streams (1.3552 vs 1.3948 B/tok, 25 vs 112 ms per 8.1M tokens —
+# zstd's fast mode fits bit-packed runs better than the deeper matchers)
+_ZSTD_LEVEL = 1
 _zstd_c = pa.Codec("zstd", _ZSTD_LEVEL)
 _zstd_d = pa.Codec("zstd")
 

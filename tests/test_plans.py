@@ -67,12 +67,13 @@ def test_encode_plan_has_single_shuffle(spark):
     enc = (
         with_pid(df, 8)
         .repartition(8, "pid")
-        .sortWithinPartitions("pid")
         .mapInArrow(_make_encoder("/tmp/x", "s", 1000), META_SCHEMA)
     )
     plan = _plan(enc)
     assert plan.count("Exchange") == 1
-    # the sort is partition-local, never a global ordering
+    # no cluster-wide sort of the payload: pids cluster per Arrow batch
+    # inside the encoder (multi-writer), and no global ordering either
+    assert "Sort" not in plan
     assert "rangepartitioning" not in plan.lower()
 
 
