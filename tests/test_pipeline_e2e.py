@@ -107,3 +107,52 @@ def test_manifest_is_valid_json_on_disk(encoded):
     wh, _, _ = encoded
     m = json.load(open(Warehouse(wh).manifest_file("s1")))
     assert m["partitions"]
+
+
+def test_multi_writer_encoder_interleaved_pids(tmp_path, monkeypatch):
+    """The encoder needs NO pid-sorted input: feed batches whose pids
+    interleave adversarially, with a buffer cap that forces early flushes,
+    and assert per-pid files hold exactly their rows (no overwrite-on-reopen,
+    the failure mode a single-writer encoder would hit)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_spark import pipeline
+    from orc_spark.pipeline import STRIPE_FILE_SCHEMA, _make_encoder
+    from orc_spark.stripe import decode_stripe, footer_from_json
+
+    monkeypatch.setattr(pipeline, "MAX_BUFFERED_TOKENS", 500)
+
+    def batch(rows):  # rows: list of (doc_id, tokens, source)
+        return pa.record_batch(
+            {
+                "doc_id": pa.array([r[0] for r in rows]),
+                "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+                "source": pa.array([r[2] for r in rows]),
+                "pid": pa.array([f"{r[2]}#0" for r in rows]),
+            }
+        )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (f"d{i:04d}", rng.randint(0, 1000, rng.randint(1, 40)).tolist(), ["a", "b", "c"][i % 3])
+        for i in range(300)
+    ]
+    rng.shuffle(rows)  # pids arrive fully interleaved
+    batches = [batch(rows[i : i + 50]) for i in range(0, 300, 50)]
+
+    enc = _make_encoder(str(tmp_path), "t", stripe_tokens=10_000)
+    metas = [m for rb in enc(iter(batches)) for m in rb.to_pylist()]
+    assert {m["pid"] for m in metas} == {"a#0", "b#0", "c#0"}
+    assert all(m["stripes"] >= 2 for m in metas)  # the cap forced early flushes
+
+    got = {}
+    for m in metas:
+        t = pq.read_table(m["file"])
+        for blob, fj in zip(t.column("blob").to_pylist(), t.column("footer").to_pylist()):
+            rb = decode_stripe(blob, footer_from_json(fj))
+            for r in rb.to_pylist():
+                got[r["doc_id"]] = (r["tokens"], r["source"])
+    expect = {d: (t_, s) for d, t_, s in rows}
+    assert got == expect
