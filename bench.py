@@ -66,14 +66,18 @@ def main() -> None:
         queries[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    # bucket count per the pipeline capacity rule (S ~ bytes / (n_sources x
+    # target-partition-size)) — task parallelism comes from num_partitions,
+    # not from S, so a small-input bench should not fragment into 160 pids
+    salt = 8
     # warm-up run (snapshot w), then the timed run (snapshot b)
     wh = os.path.join(work, "wh")
-    encode_table(spark, df, wh, snapshot="w", salt_buckets=CPUS, stripe_tokens=4_000_000)
+    encode_table(spark, df, wh, snapshot="w", salt_buckets=salt, stripe_tokens=4_000_000)
     shutil.rmtree(wh)
     manifest = timed(
         "encode",
         lambda: encode_table(
-            spark, df, wh, snapshot="b", salt_buckets=CPUS, stripe_tokens=4_000_000
+            spark, df, wh, snapshot="b", salt_buckets=salt, stripe_tokens=4_000_000
         ),
     )
     timed("decode", lambda: decode_table(spark, wh, snapshot="b").count())
