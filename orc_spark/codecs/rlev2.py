@@ -135,8 +135,6 @@ def _encode_full_blocks(M: np.ndarray, signed: bool, narrow: bool = False) -> li
         fd = np.zeros(B, dtype=np.int64)
         const_delta = np.zeros(B, dtype=bool)
         mono_ok = np.zeros(B, dtype=bool)
-        dmin = np.zeros(B, dtype=np.int64)
-        dmax = np.zeros(B, dtype=np.int64)
         diffsC = None  # full diffs for candidate blocks only
         if len(cidx):
             # narrow: diff on the int32 view (values < 2^31 so deltas fit
@@ -154,8 +152,6 @@ def _encode_full_blocks(M: np.ndarray, signed: bool, narrow: bool = False) -> li
                     Mmax[cidx].view(np.uint64) - base[cidx].view(np.uint64)
                 ) < (np.uint64(1) << np.uint64(63))
             fd[cidx] = fdC
-            dmin[cidx] = dminC
-            dmax[cidx] = dmaxC
             const_delta[cidx] = (dminC == dmaxC) & range_ok
             mono_ok[cidx] = ((dminC >= 0) | ((dmaxC <= 0) & (fdC < 0))) & range_ok
         if narrow:

@@ -79,6 +79,19 @@ def test_property_roundtrip_int64(xs, signed):
     roundtrip(a, signed)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 31) - 1), max_size=2000))
+def test_property_narrow_decode_matches_wide(xs):
+    """dtype=int32 decode (the batched narrow path) must agree bit-for-bit
+    with the generic int64 decode on any valid narrow stream."""
+    a = np.array(xs, dtype=np.int64)
+    enc = encode_rlev2(a, signed=False)
+    d64 = decode_rlev2(enc, len(a), signed=False)
+    d32 = decode_rlev2(enc, len(a), signed=False, dtype=np.int32)
+    assert d32.dtype == np.int32
+    assert np.array_equal(d64, a) and np.array_equal(d32, a)
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.integers(min_value=0, max_value=2000),
