@@ -70,7 +70,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from orc_spark import relational, similarity, textops
     from orc_spark.flagship import codec_plan_report, encode_roundtrip_summary
-    from orc_spark.multimodal import multimodal_meta
+    from orc_spark.multimodal import multimodal_frames, multimodal_meta
 
     def _enc(spark, sf_dir):
         _ship(spark)
@@ -83,6 +83,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _mm(spark, sf_dir):
         _ship(spark)
         return multimodal_meta(spark, sf_dir)
+
+    def _mmf(spark, sf_dir):
+        _ship(spark)
+        return multimodal_frames(spark, sf_dir)
 
     return {
         # engine pipeline: encode→decode→verify round-trip, HARD-gated by a
@@ -113,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": textops.token_counts_bpe,
         # multimodal plumbing
         "multimodal_meta": _mm,
+        "multimodal_frames": _mmf,
         # relational / rollups
         "pricing_summary": relational.pricing_summary,
         "nation_revenue": relational.nation_revenue,
@@ -393,6 +398,14 @@ def oracle_sql() -> dict[str, str]:
                              WHEN unicode(text) < 2048 THEN 192 + unicode(text)//64
                              WHEN unicode(text) < 65536 THEN 224 + unicode(text)//4096
                              ELSE 240 + unicode(text)//262144 END AS INTEGER) AS first_byte
+            FROM documents
+        """,
+        # frame offsets are a pure function of the payload's byte length:
+        # one row per 64-byte frame, at least one per doc
+        "multimodal_frames": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(unnest(range(0, greatest(strlen(text)//64, 1))) AS INTEGER) AS frame_idx,
+                   CAST(unnest(range(0, greatest(strlen(text)//64, 1))) * 64 AS BIGINT) AS frame_offset
             FROM documents
         """,
         "pricing_summary": """

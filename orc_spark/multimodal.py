@@ -155,7 +155,16 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-surface wrapper: binarize -> extract_meta (oracle: octet_length
-    + ascii of the text the payload was built from)."""
+    + the UTF-8 leading byte of the text the payload was built from)."""
     return extract_meta(binarize_documents(spark, sf_dir)).select(
         "doc_id", "n_bytes", "first_byte"
+    )
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-surface wrapper for the frame-sampling fan-out: the offsets are
+    a pure function of payload length, so the whole mapInArrow stage is
+    hash-gated by a SQL oracle (one row per 64-byte 'frame')."""
+    return frame_sample(binarize_documents(spark, sf_dir)).select(
+        "doc_id", "frame_idx", "frame_offset"
     )
