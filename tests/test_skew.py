@@ -126,6 +126,41 @@ def test_rebalance_is_deterministic(giant_doc_df):
     )
 
 
+def test_rebalance_resume_rederives_same_pids(giant_doc_df, tmp_path_factory):
+    """Kill/resume with rebalance on: the mass aggregation runs on the FULL
+    input before the resume filter, so a resumed run derives identical split
+    pid names and only re-encodes what is missing."""
+    from orc_spark.pipeline import decode_table, encode_table, verify_roundtrip
+    from orc_spark.warehouse import Warehouse
+
+    spark = giant_doc_df.sparkSession
+    wh = str(tmp_path_factory.mktemp("rbres"))
+    kwargs = dict(
+        snapshot="rb",
+        salt_buckets=SALT,
+        stripe_tokens=500_000,
+        max_pid_tokens=1_000_000,
+    )
+    m1 = encode_table(spark, giant_doc_df, wh, **kwargs)
+    # simulate a killed run that committed only a third of the partitions
+    w = Warehouse(wh)
+    pids = sorted(m1["partitions"])
+    keep = {p: {**m1["partitions"][p], "encode_s": -1.0} for p in pids[: len(pids) // 3]}
+    import os
+
+    os.remove(w.manifest_file("rb"))
+    for p in pids[len(pids) // 3 :]:
+        os.remove(m1["partitions"][p]["file"])
+    w.commit("rb", keep, m1["schema"])
+
+    m2 = encode_table(spark, giant_doc_df, wh, **kwargs)
+    assert set(m2["partitions"]) == set(pids)  # identical split pid names
+    for p in keep:
+        assert m2["partitions"][p]["encode_s"] == -1.0  # committed: untouched
+    res = verify_roundtrip(giant_doc_df, decode_table(spark, wh, snapshot="rb"))
+    assert res["ok"]
+
+
 def test_rebalanced_encode_roundtrips(giant_doc_df, tmp_path_factory):
     """The split pids flow through encode -> manifest -> decode unchanged."""
     from orc_spark.pipeline import decode_table, encode_table, verify_roundtrip
