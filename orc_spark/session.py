@@ -11,7 +11,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 8192  # ~3.4M tokens/batch at the canonical length mix
+# ~3.4M tokens/batch at the canonical length mix; ORC_SPARK_ARROW_BATCH
+# overrides for tuning (bigger batches = fewer JVM<->Python IPC round trips,
+# more worker memory per batch)
+ARROW_BATCH_ROWS = int(os.environ.get("ORC_SPARK_ARROW_BATCH", "8192"))
 
 
 def get_spark(
