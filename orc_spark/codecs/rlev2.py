@@ -409,6 +409,8 @@ def decode_rlev2(buf, n: int, signed: bool = True, dtype=np.int64) -> np.ndarray
     parses. `dtype=np.int32` is the narrow output path for streams whose
     footer stats prove 0 <= min <= max < 2^31: half the output traffic and
     no int64 widening on the hot DIRECT path."""
+    if dtype == np.int32 and signed:
+        raise ValueError("narrow int32 decode requires an unsigned stream")
     out = np.empty(n, dtype=dtype)
     mv = memoryview(buf).cast("B")  # pa.Buffer memoryviews are signed by default
     i = 0
