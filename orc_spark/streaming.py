@@ -73,6 +73,35 @@ def encode_stream(
     return writer.start()
 
 
+def running_source_totals(stream_df: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState: exact
+    running (cumulative) ingest totals per source across micro-batches —
+    the bookkeeping a resumable ingestion service exposes. State per key is
+    two counters (bounded, no timeout needed); each micro-batch emits the
+    updated running totals for the sources it touched. Arrow-batched pandas
+    inside the state function, no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        docs, toks = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            docs += len(pdf)
+            toks += int(pdf["n_tok"].sum())
+        state.update((docs, toks))
+        yield pd.DataFrame(
+            {"source": [key[0]], "total_docs": [docs], "total_tokens": [toks]}
+        )
+
+    return stream_df.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType="source string, total_docs long, total_tokens long",
+        stateStructType="docs long, toks long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_token_stats(
     stream_df: DataFrame,
     ts_col: str = "ts",
