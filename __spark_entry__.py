@@ -93,7 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB oracle (per-source decoded aggregates; tokenizer is
         # md5-prefix hashed so the oracle re-derives identical token ids)
         "encode_roundtrip": _enc,
-        # codec auto-selection report (engine-internal decisions: rows-only)
+        # codec auto-selection report, gated against a pinned literal oracle
+        # (fixed probe input + deterministic chooser => known plan rows)
         "codec_plan": _plan,
         # text analysis
         "corpus_stats": textops.corpus_stats,
@@ -107,11 +108,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": textops.minhash_signatures,
         "minhash_candidates": textops.minhash_candidates,
         "simhash": textops.simhash32,
-        # similarity search
+        # similarity search. embed_dup_pairs / lsh_refined_pairs keep their
+        # true near-dup default (0.99) for API callers; the gate
+        # registrations pass fixture-calibrated thresholds explicitly
+        # (random vectors never reach 0.99) so the compared rows are real:
+        # 0.40 → ~59 exact all-pairs, 0.20 → ~78 bucket-refined pairs.
         "topk_cosine": similarity.topk_cosine,
         "lsh_buckets": similarity.lsh_buckets,
         "lsh_ann_candidates": similarity.lsh_ann_candidates,
-        "embed_dup_pairs": similarity.embedding_dup_pairs,
+        "embed_dup_pairs": lambda spark, sf_dir: similarity.embedding_dup_pairs(
+            spark, sf_dir, min_sim_f6=400_000
+        ),
+        "lsh_refined_pairs": lambda spark, sf_dir: similarity.lsh_refined_pairs(
+            spark, sf_dir, min_sim_f6=200_000
+        ),
         "ivf_assign": similarity.ivf_assign,
         "ivf_list_sizes": similarity.ivf_list_sizes,
         "token_counts_bpe": textops.token_counts_bpe,
@@ -179,12 +189,16 @@ def oracle_sql() -> dict[str, str]:
         # documents with the identical md5-prefix hash tokenizer and
         # aggregates per source; the Spark side computes the same aggregates
         # from the DECODED stripes, so a single flipped bit anywhere in
-        # encode→decode changes token_sum/doc_ids_md5 and fails the hash.
+        # encode→decode changes token_sum/doc_xor/doc_sum and fails the hash.
+        # The doc_id rollup is two commutative O(1)-state lanes (48-bit xor +
+        # mod-prime sum of the md5-prefix hash), NOT a sorted collect_list —
+        # the gate query itself must survive a 10^12-row source.
         # verify_missing/extra are literal zeros: the Spark side's exact
         # multiset verify must agree.
         "encode_roundtrip": f"""
             WITH t AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
                      [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
               FROM documents)
             SELECT source,
@@ -192,10 +206,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
                    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
                                         (a,b) -> a+b)) AS BIGINT) AS token_sum,
-                   md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS doc_ids_md5,
+                   CAST(bit_xor(h) AS BIGINT) AS doc_xor,
+                   CAST(sum(h % 1000003) AS BIGINT) AS doc_sum,
                    CAST(0 AS BIGINT) AS verify_missing,
                    CAST(0 AS BIGINT) AS verify_extra
             FROM t GROUP BY source
+        """,
+        # codec auto-selection: the probe input is FIXED (first 4096 docs of
+        # the sf0.01 fixture, sorted by doc_id) and the chooser deterministic
+        # (cost trials over fixed bytes), so the expected plan is a known
+        # constant — pinned here as a literal so any chooser regression fails
+        # the value-hash gate instead of passing rows-only. Derivation:
+        # ints → cost trial rle2/for/bitpack (uniform zipf token ids pick
+        # bitpack; monotone-ish LENGTH runs pick rle2); strings → dictionary
+        # iff distinct/total <= 0.8 (doc_id unique → DIRECT, source 4-ary →
+        # DICTIONARY); fsst off (ids/labels lose to plain zstd on the
+        # sample); zstd kept only where it shrinks the stream.
+        "codec_plan": """
+            SELECT * FROM (VALUES
+              ('doc_id', 'string', 'DIRECT', 'LENGTH', 'rle2', 'zstd', FALSE),
+              ('doc_id', 'string', 'DIRECT', 'DATA', 'bytes', 'zstd', FALSE),
+              ('tokens', 'list<element: int32>', 'DIRECT', 'LENGTH', 'rle2', 'none', FALSE),
+              ('tokens', 'list<element: int32>', 'DIRECT', 'DATA', 'bitpack', 'zstd', FALSE),
+              ('n_tok', 'int32', 'DIRECT', 'DATA', 'bitpack', 'none', FALSE),
+              ('source', 'string', 'DICTIONARY', 'DATA', 'rle2', 'zstd', FALSE),
+              ('source', 'string', 'DICTIONARY', 'DICTIONARY_DATA', 'bytes', 'zstd', FALSE),
+              ('source', 'string', 'DICTIONARY', 'DICT_LENGTH', 'rle2', 'none', FALSE)
+            ) AS t("column", "type", "encoding", "stream", "codec", "compression", "fsst")
         """,
         "corpus_stats": """
             SELECT source,
@@ -365,6 +402,35 @@ def oracle_sql() -> dict[str, str]:
               FROM d GROUP BY vec_id)
             SELECT x.bucket AS bucket, x.vec_id AS id_a, y.vec_id AS id_b
             FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        """,
+        # the scale-safe near-dup composition: identical bucket assignment to
+        # lsh_ann_candidates, embeddings carried through, exact left-fold
+        # cosine refine within the bucket at the calibrated gate threshold
+        "lsh_refined_pairs": f"""
+            WITH d AS (
+              SELECT vec_id, embedding, p,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [CAST(embedding[i] AS DOUBLE) * ({_LSH_W})
+                        for i in range(1, len(embedding)+1)]),
+                       (x,y) -> x+y) AS dot
+              FROM embeddings, (SELECT unnest(range(0,8)) AS p)),
+            b AS (
+              SELECT vec_id, any_value(embedding) AS embedding,
+                     CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2,p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+              FROM d GROUP BY vec_id),
+            pairs AS (
+              SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                     x.embedding AS va, y.embedding AS vb
+              FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+            SELECT id_a, id_b, sim_f6 FROM (
+              SELECT id_a, id_b,
+                     CAST(floor(
+                       {_FOLD_DOT.format(a='va', b='vb')}
+                       / (sqrt({_FOLD_DOT.format(a='va', b='va')})
+                          * sqrt({_FOLD_DOT.format(a='vb', b='vb')}))
+                       * 1000000) AS BIGINT) AS sim_f6
+              FROM pairs)
+            WHERE sim_f6 >= 200000
         """,
         "token_counts_bpe": """
             SELECT doc_id,

@@ -541,8 +541,17 @@ def _decode_batched(
                 bases = np.array([r[1] for r in sel], dtype=np.int64)
                 # narrow patched path: values < 2^31 and base >= 0 (by the
                 # caller's stats gate), so low bits, patches, and the base
-                # addition all fit uint32 with no wrap
-                nrw = narrow_out and w <= 32 and bases.min(initial=0) >= 0
+                # addition all fit uint32 with no wrap. A foreign stream with
+                # inaccurate footer stats could still carry w + pw > 32 (the
+                # patch shift would overflow the uint32 lane), so such groups
+                # fall back to the int64 path instead of decoding garbage.
+                maxwp = max(int(r[0]) + (int(r[2]) if r[3] else 0) for r in sel)
+                nrw = (
+                    narrow_out
+                    and w < 32
+                    and maxwp <= 32
+                    and bases.min(initial=0) >= 0
+                )
                 if nrw:
                     vals = unpack_u32(mat.ravel(), len(sel) * BLOCK, int(w)).reshape(
                         len(sel), BLOCK

@@ -4,11 +4,13 @@ codec-selection report.
 
 `encode_roundtrip_summary` is the hard-gate entry: it returns per-source
 aggregates computed FROM THE DECODED table (row counts, token counts, exact
-token sums, an md5 rollup of the sorted doc_ids) plus the bit-equality
-verify counters — all reproducible by a DuckDB oracle that re-derives the
-same tokens from the raw documents parquet (the tokenizer is md5-prefix
-hashed for exactly this reason, see tokenize.py). A wrong encode, decode, or
+token sums, commutative doc_id checksum lanes) plus the bit-equality verify
+counters — all reproducible by a DuckDB oracle that re-derives the same
+tokens from the raw documents parquet (the tokenizer is md5-prefix hashed
+for exactly this reason, see tokenize.py). A wrong encode, decode, or
 verify changes the value hash; the oracle's verify columns are literal 0s.
+Every rollup has O(1) aggregation state (no collect_list), so the gate
+query itself survives a 10^12-row source.
 """
 
 from __future__ import annotations
@@ -17,9 +19,10 @@ import shutil
 import tempfile
 
 import pyarrow as pa
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .pipeline import decode_table, encode_table, verify_roundtrip
+from .pipeline import decode_table, encode_table, row_digest, verify_roundtrip
 from .stripe import encode_stripe
 from .tokenize import read_documents, tokens_from_documents
 
@@ -30,8 +33,13 @@ METRICS_SCHEMA = (
 
 SUMMARY_SCHEMA = (
     "source string, n_rows long, n_tokens long, token_sum long, "
-    "doc_ids_md5 string, verify_missing long, verify_extra long"
+    "doc_xor long, doc_sum long, verify_missing long, verify_extra long"
 )
+
+# prime modulus for the order-free doc_id checksum lane: h48 < 2^48 and
+# h48 % p < 2^20, so even 10^12 rows sum to < 2^60 — no BIGINT overflow in
+# either engine (DuckDB's HUGEINT sum is cast back down losslessly)
+DOC_SUM_MOD = 1_000_003
 
 PLAN_SCHEMA = (
     "column string, type string, encoding string, stream string, "
@@ -78,6 +86,42 @@ def encode_roundtrip_metrics(
     return spark.createDataFrame(rows, METRICS_SCHEMA)
 
 
+def summary_narrow_pass(decoded: DataFrame) -> DataFrame:
+    """One narrow projection of the decoded table carrying everything both
+    summary consumers need: per-source stat inputs + the verify row digest.
+    ~50 bytes/row, so persisting it (instead of decoding the warehouse twice)
+    is cheap even at corpus scale."""
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    h = F.conv(F.substring(F.md5("doc_id"), 1, 12), 16, 10).cast("long")
+    return decoded.select(
+        F.col("source"),
+        F.col("n_tok").cast("long").alias("_nt"),
+        tok_sum.alias("_ts"),  # exact integer sum — order-free
+        h.alias("_h"),
+        row_digest(decoded.columns).alias("_rd"),
+    )
+
+
+def summary_aggregates(narrow: DataFrame) -> DataFrame:
+    """Per-source rollup with O(1) aggregation state everywhere (commutative/
+    associative — no collect_list of a 10^12-row source into one buffer): the
+    doc_id checksum is a 48-bit xor lane + a mod-prime sum lane. A single
+    added/dropped/altered doc_id flips doc_xor; duplicate-pair swaps that xor
+    misses are caught by the sum lane and n_rows. test_plans.py asserts this
+    stays a plain HashAggregate."""
+    return narrow.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_ts").cast("long").alias("token_sum"),
+        F.expr("bit_xor(_h)").cast("long").alias("doc_xor"),
+        F.sum(F.pmod(F.col("_h"), F.lit(DOC_SUM_MOD)))
+        .cast("long")
+        .alias("doc_sum"),
+    )
+
+
 def encode_roundtrip_summary(
     spark: SparkSession,
     sf_dir: str,
@@ -100,30 +144,28 @@ def encode_roundtrip_summary(
             stripe_tokens=stripe_tokens,
         )
         decoded = decode_table(spark, wh, snapshot="flagship")
-        res = verify_roundtrip(df, decode_table(spark, wh, snapshot="flagship"))
-        # integer token sum: exact and order-free, unlike double sums
-        tok_sum = F.aggregate(
-            "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x
+        # ONE decode pass feeds both consumers (aggregates + verify): reduce
+        # each decoded row to a narrow projection — per-source stats inputs
+        # plus the verify row digest — and persist THAT (~50 bytes/row, not
+        # the token payload), then aggregate and multiset-diff from it.
+        narrow = summary_narrow_pass(decoded).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        agg_rows = (
-            decoded.groupBy("source")
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.sum("n_tok").cast("long").alias("n_tokens"),
-                F.sum(tok_sum).cast("long").alias("token_sum"),
-                F.md5(
-                    F.concat_ws(",", F.array_sort(F.collect_list("doc_id")))
-                ).alias("doc_ids_md5"),
+        try:
+            agg_rows = summary_aggregates(narrow).collect()
+            res = verify_roundtrip(
+                df, decoded, decoded_digest=narrow.select("_rd")
             )
-            .collect()
-        )
+        finally:
+            narrow.unpersist()
         rows = [
             (
                 r["source"],
                 int(r["n_rows"]),
                 int(r["n_tokens"]),
                 int(r["token_sum"]),
-                r["doc_ids_md5"],
+                int(r["doc_xor"]),
+                int(r["doc_sum"]),
                 int(res["missing"]),
                 int(res["extra"]),
             )

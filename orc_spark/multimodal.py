@@ -109,15 +109,23 @@ def fake_decode_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     Exercises the exact plumbing of a real embedding/decode stage (binary in,
     fixed-dim float array out, Arrow-batched)."""
 
+    reps = (dim * 2) // 16 + 1  # md5 digests are 16 bytes
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for b in pdf["payload"]:
-                d = hashlib.md5(b).digest()
-                raw = (d * ((dim * 2) // len(d) + 1))[: dim * 2]
-                v = np.frombuffer(raw, dtype=np.uint16).astype(np.float32)
-                feats.append(v / 65535.0)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+            # md5 is per-row by nature; the feature ASSEMBLY is batched —
+            # one concat of all digests, one frombuffer, one reshape/scale
+            digests = b"".join(hashlib.md5(b).digest() for b in pdf["payload"])
+            mat = (
+                np.frombuffer(digests, dtype=np.uint8)
+                .reshape(len(pdf), 16)[:, None, :]
+                .repeat(reps, axis=1)
+                .reshape(len(pdf), reps * 16)[:, : dim * 2]
+            )
+            v = mat.copy().view(np.uint16).astype(np.float32) / 65535.0
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "features": list(v)}
+            )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
 

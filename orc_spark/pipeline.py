@@ -107,9 +107,13 @@ def rebalance_by_tokens(dfp: DataFrame, max_pid_tokens: int) -> tuple[DataFrame,
         *[x for pid, n in sorted(splits.items()) for x in (F.lit(pid), F.lit(n))]
     )[F.col("pid")]
     sub = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), k).cast("string")
+    # sub-buckets use '@', NOT the with_pid '#' separator: a source name that
+    # itself contains '#' ("a#1" bucket 2 vs "a" bucket 1 sub 2) must not
+    # collide with a split pid, or two logical partitions silently merge and
+    # the max_pid_tokens cap stops binding
     out = dfp.withColumn(
         "pid",
-        F.when(k.isNotNull(), F.concat_ws("#", F.col("pid"), sub)).otherwise(
+        F.when(k.isNotNull(), F.concat_ws("@", F.col("pid"), sub)).otherwise(
             F.col("pid")
         ),
     )
@@ -377,7 +381,17 @@ def _multiset_diff_counts(a: DataFrame, b: DataFrame, cols: list[str]) -> dict:
     return {"missing": int(row["missing"]), "extra": int(row["extra"])}
 
 
-def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> dict:
+def row_digest(cols: list[str]):
+    """The verify row digest: md5 of the row's JSON rendering (JVM-side,
+    narrow, ~16 bytes/row crossing the verify shuffle)."""
+    return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+
+
+def verify_roundtrip(
+    original: DataFrame,
+    decoded: DataFrame,
+    decoded_digest: DataFrame | None = None,
+) -> dict:
     """Bit-equality gate (BASELINE.json:15): per-row token-array equality.
 
     Hash-first: each side is reduced to a 128-bit md5 row digest (md5 of the
@@ -386,15 +400,19 @@ def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> dict:
     token payload (~50× less shuffle at typical document lengths; at 100 TB
     the verify shuffle would otherwise be 2× corpus bytes). On a digest
     mismatch the exact full-row multiset diff re-runs as the drilldown so
-    reported missing/extra counts stay exact row counts, not digest counts."""
+    reported missing/extra counts stay exact row counts, not digest counts.
+
+    `decoded_digest` (a single `_rd` column) lets a caller that already
+    materialized the decoded side's digests — e.g. the flagship summary,
+    which persists one narrow pass over the decode — share that pass instead
+    of decoding the warehouse a second time."""
     cols = decoded.columns
 
     def digested(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]))).alias("_rd")
-        )
+        return df.select(row_digest(cols).alias("_rd"))
 
-    res = _multiset_diff_counts(digested(original), digested(decoded), ["_rd"])
+    dec_d = decoded_digest if decoded_digest is not None else digested(decoded)
+    res = _multiset_diff_counts(digested(original), dec_d, ["_rd"])
     if res["missing"] or res["extra"]:
         res = _multiset_diff_counts(original, decoded, cols)
     return {**res, "ok": res["missing"] == 0 and res["extra"] == 0}

@@ -213,7 +213,13 @@ def jaccard_pairs(
     """n-gram Jaccard near-dup pairs via shingle self-join. CORRECT but
     quadratic in bucket size — the small-scale oracle; at 10^9 docs use
     minhash_candidates instead. Shuffles: shingle join + pair groupBy."""
-    sh = shingles(spark, sf_dir).cache()
+    # the exploded shingle table is corpus × words — persist it for the two
+    # consumers (sizes + self-join) on DISK, not executor storage memory:
+    # this query is the documented small-scale oracle, but a memory cache of
+    # an exploded table is the wrong default even there
+    from pyspark import StorageLevel
+
+    sh = shingles(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("a")

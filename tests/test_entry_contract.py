@@ -73,9 +73,9 @@ def test_every_query_listed_or_rows_only():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    # only genuinely non-SQL ops may skip the oracle (codec_plan reports
-    # engine-internal chooser decisions; encode_roundtrip IS oracled)
-    assert rows_only <= {"codec_plan"}
+    # EVERY query is oracled: even codec_plan (engine-internal chooser
+    # decisions) is hash-gated via a pinned literal VALUES oracle
+    assert rows_only == set()
 
 
 def test_entry_smoke(spark):

@@ -135,6 +135,36 @@ def test_codec_plan_report_no_driver_collect(spark):
     assert {"doc_id", "tokens", "n_tok", "source"} <= cols
 
 
+def test_summary_aggregates_bounded_state(spark):
+    """the flagship gate query's per-source rollup must keep O(1) aggregation
+    state: a collect_list of doc_ids would OOM one executor on a 10^12-row
+    source. Plain HashAggregate, no ObjectHashAggregate/collect_list."""
+    from orc_spark.flagship import summary_aggregates, summary_narrow_pass
+
+    decoded = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(F.lit(1), F.lit(2)).alias("tokens"),
+        F.lit(2).alias("n_tok"),
+        F.col("source"),
+    )
+    plan = _plan(summary_aggregates(summary_narrow_pass(decoded)))
+    assert "collect_list" not in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan  # map-side combinable
+
+
+def test_lsh_refined_pairs_bucket_join(spark):
+    """the scale-safe near-dup refine joins per LSH bucket — an equi-join,
+    never the all-pairs cartesian of embed_dup_pairs' small-scale oracle."""
+    from orc_spark.similarity import lsh_refined_pairs
+
+    plan = _plan(lsh_refined_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # the per-bucket equi-join is present
+
+
 def test_whole_stage_codegen_covers_textops(spark):
     from orc_spark.textops import quality_scores
 

@@ -176,7 +176,9 @@ def test_rebalanced_encode_roundtrips(giant_doc_df, tmp_path_factory):
         stripe_tokens=500_000,
         max_pid_tokens=1_000_000,
     )
-    assert any(p.count("#") == 2 for p in manifest["partitions"])  # split pids
+    # split pids use '@' (distinct from with_pid's '#': a source name that
+    # contains '#' must not make a split pid collide with a salt pid)
+    assert any("@" in p for p in manifest["partitions"])
     assert all(
         p["n_tokens"] <= 1_800_000 for p in manifest["partitions"].values()
     )
