@@ -104,3 +104,70 @@ def test_decode_liborc_tokens_list_streams(tmp_path):
     assert np.array_equal(child, flat)
     expect_lens = np.asarray(tbl["tokens"].combine_chunks().value_lengths())
     assert np.array_equal(lens, expect_lens)
+
+
+def _liborc_roundtrip(tmp_path, name, vals: np.ndarray) -> None:
+    f = write_orc(tmp_path, name, pa.array(vals, type=pa.int64()))
+    stripes = orcmeta.parse(f)
+    got = []
+    for s in stripes:
+        raw = orcmeta.stream_bytes(f, s, 1, "DATA")
+        got.append(decode_rlev2(raw, s["rows"], signed=True))
+    assert np.array_equal(np.concatenate(got), vals), name
+
+
+def test_decode_liborc_patched_gap255_dummy_entries(tmp_path):
+    """PATCHED_BASE patch-list gaps are 8-bit; liborc bridges gaps > 255 with
+    dummy (gap=255, patch=0) entries. Craft blocks whose outliers sit > 255
+    apart so the writer must emit them, and decode the real bytes."""
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 1 << 10, 4096, dtype=np.int64)
+    # one outlier at the start and one at the end of each 512-block: the
+    # inter-patch gap inside a block is 510 (> 255 -> dummy entry)
+    for b in range(8):
+        vals[b * 512 + 0] = (1 << 30) + b
+        vals[b * 512 + 511] = (1 << 30) + 1000 + b
+    _liborc_roundtrip(tmp_path, "gap255", vals)
+
+
+def test_decode_liborc_boundary_bases(tmp_path):
+    """Bases near the 64-bit extremes. liborc picks PATCHED from the ZIGZAG
+    width spread, so huge-base blocks always zigzag to ~uniform 62-63 bits
+    and come out DIRECT at the widest closed widths — itself a boundary path
+    worth conforming on. The reachable PATCHED-with-negative-base case
+    (sign-magnitude base byte) is exercised separately below."""
+    rng = np.random.default_rng(43)
+    cases = [
+        ("hi_pos", (1 << 61) + rng.integers(0, 1 << 8, 2048, dtype=np.int64)),
+        ("lo_neg", -(1 << 61) + rng.integers(0, 1 << 8, 2048, dtype=np.int64)),
+    ]
+    for name, base_vals in cases:
+        v = base_vals.copy()
+        v[::512] += 1 << 20
+        _liborc_roundtrip(tmp_path, name, v)
+
+
+def test_decode_liborc_patched_negative_base(tmp_path):
+    """PATCHED_BASE with a negative block minimum: the base byte is
+    sign-magnitude ([ORCv1]); verified non-vacuous — liborc emits a 0b10
+    header for this shape (small signed values + huge positive outliers)."""
+    rng = np.random.default_rng(9)
+    v = rng.integers(-(1 << 9), 1 << 9, 1024, dtype=np.int64)
+    v[100] += 1 << 30
+    v[600] += 1 << 30
+    _liborc_roundtrip(tmp_path, "neg_base", v)
+
+
+def test_decode_liborc_patched_fuzz(tmp_path):
+    """Randomized PATCHED_BASE-leaning shapes: mostly-narrow blocks with a
+    few huge outliers at random positions, random base offsets (incl.
+    negative), decoded from real liborc bytes. Deterministic seeds."""
+    for seed in range(6):
+        rng = np.random.default_rng(1000 + seed)
+        n = int(rng.integers(1024, 6000))
+        base = int(rng.integers(-(1 << 40), 1 << 40))
+        vals = base + rng.integers(0, 1 << int(rng.integers(4, 16)), n, dtype=np.int64)
+        n_out = int(rng.integers(1, 30))
+        pos = rng.choice(n, size=n_out, replace=False)
+        vals[pos] += rng.integers(1 << 20, 1 << 45, n_out, dtype=np.int64)
+        _liborc_roundtrip(tmp_path, f"fuzz{seed}", vals)
