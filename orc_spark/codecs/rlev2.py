@@ -506,6 +506,48 @@ def decode_rlev2(buf, n: int, signed: bool = True, dtype=np.int64) -> np.ndarray
     return out
 
 
+def _extract_patches(buf8: np.ndarray, sel: list) -> tuple | None:
+    """Vectorized patch-list extraction for a group of full PATCHED_BASE runs
+    (the tail of the two-phase decode — previously a per-run Python loop of
+    ~n/512 small unpack+cumsum calls, the last per-block loop on the decode
+    hot path for outlier-heavy data).
+
+    Every patch entry is a cfb-bit big-endian field at bit j*cfb of its run's
+    byte-aligned patch list. All entries of all runs extract in one pass: an
+    8-byte gather window per entry, big-endian u64 combine, shift/mask (cfb
+    <= 40 always fits the top of the window; trailing window bytes past the
+    field — including any clamped past the buffer end — are shifted out).
+    Patch positions are per-run *inclusive* cumsums of the gap fields,
+    computed as one segmented cumsum.
+
+    Returns (run_row, pos, patches) concatenated over runs with pll > 0, or
+    None when no run carries patches."""
+    rows = np.array([k for k, r in enumerate(sel) if r[3]], dtype=np.int64)
+    if not len(rows):
+        return None
+    pw = np.array([sel[k][2] for k in rows], dtype=np.int64)
+    pll = np.array([sel[k][3] for k in rows], dtype=np.int64)
+    cfb = np.array([sel[k][4] for k in rows], dtype=np.int64)
+    poff = np.array([sel[k][6] for k in rows], dtype=np.int64)
+    n_entries = int(pll.sum())
+    rid = np.repeat(np.arange(len(rows)), pll)
+    starts = np.r_[0, np.cumsum(pll)[:-1]]
+    j = np.arange(n_entries, dtype=np.int64) - np.repeat(starts, pll)
+    bitoff = j * cfb[rid]
+    byte = poff[rid] + (bitoff >> 3)
+    win = buf8[np.minimum(byte[:, None] + np.arange(8), len(buf8) - 1)]
+    u = np.ascontiguousarray(win).view(">u8")[:, 0].astype(np.uint64)
+    sh = (64 - cfb[rid] - (bitoff & 7)).astype(np.uint64)
+    cfb_e = cfb[rid].astype(np.uint64)
+    entries = (u >> sh) & ((np.uint64(1) << cfb_e) - np.uint64(1))
+    pw_e = pw[rid].astype(np.uint64)
+    gaps = (entries >> pw_e).astype(np.int64)
+    patches = entries & ((np.uint64(1) << pw_e) - np.uint64(1))
+    c = np.cumsum(gaps)
+    pos = c - np.repeat(c[starts] - gaps[starts], pll)
+    return rows[rid], pos, patches
+
+
 def _decode_batched(
     mv, out: np.ndarray, dir_runs: list, pat_runs: list, signed: bool
 ) -> None:
@@ -560,19 +602,16 @@ def _decode_batched(
                     vals = unpack(mat.ravel(), len(sel) * BLOCK, int(w)).reshape(
                         len(sel), BLOCK
                     )
-                for k, (_, _, pw, pll, cfb, _, poff, _) in enumerate(sel):
-                    if pll:
-                        pbytes = packed_size(pll, cfb)
-                        entries = unpack(mv[poff : poff + pbytes], pll, cfb)
-                        gaps = (entries >> np.uint64(pw)).astype(np.int64)
-                        patches = entries & (
-                            (np.uint64(1) << np.uint64(pw)) - np.uint64(1)
-                        )
-                        pos = np.cumsum(gaps)
-                        if nrw:
-                            vals[k, pos] |= patches.astype(np.uint32) << np.uint32(w)
-                        else:
-                            vals[k, pos] |= patches << np.uint64(w)
+                pr = _extract_patches(buf8, sel)
+                if pr is not None:
+                    rk, pos, patches = pr
+                    flat = rk * BLOCK + pos  # unique positions: gaps are
+                    # strictly positive within a run after the first entry,
+                    # so fancy-index |= never double-writes
+                    if nrw:
+                        vals.ravel()[flat] |= patches.astype(np.uint32) << np.uint32(w)
+                    else:
+                        vals.ravel()[flat] |= patches << np.uint64(w)
                 outs = np.array([r[7] for r in sel], dtype=np.int64)
                 tgt = (outs[:, None] + span).ravel()
                 if nrw:
