@@ -69,12 +69,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from orc_spark import relational, similarity, textops
-    from orc_spark.flagship import codec_plan_report, encode_roundtrip_summary
+    from orc_spark.flagship import (
+        codec_plan_report,
+        encode_roundtrip_summary,
+        pruned_scan_summary,
+    )
     from orc_spark.multimodal import multimodal_frames, multimodal_meta
 
     def _enc(spark, sf_dir):
         _ship(spark)
         return encode_roundtrip_summary(spark, sf_dir)
+
+    def _pruned(spark, sf_dir):
+        _ship(spark)
+        return pruned_scan_summary(spark, sf_dir)
 
     def _plan(spark, sf_dir):
         _ship(spark)
@@ -96,6 +104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec auto-selection report, gated against a pinned literal oracle
         # (fixed probe input + deterministic chooser => known plan rows)
         "codec_plan": _plan,
+        # predicate pushdown: encode → decode with n_tok BETWEEN 30 AND 70
+        # pushed through manifest/stripe-stats/row pruning; the oracle
+        # filters the re-derived table directly, so pruning must be exactly
+        # transparent
+        "pruned_scan": _pruned,
         # text analysis
         "corpus_stats": textops.corpus_stats,
         "token_counts": textops.token_counts,
@@ -233,6 +246,23 @@ def oracle_sql() -> dict[str, str]:
               ('source', 'string', 'DICTIONARY', 'DICTIONARY_DATA', 'bytes', 'zstd', FALSE),
               ('source', 'string', 'DICTIONARY', 'DICT_LENGTH', 'rle2', 'none', FALSE)
             ) AS t("column", "type", "encoding", "stream", "codec", "compression", "fsst")
+        """,
+        # pruned decode: identical derivation to encode_roundtrip, filtered
+        # on token count — what a transparent pushed-down scan must return
+        "pruned_scan": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor(h) AS BIGINT) AS doc_xor,
+                   CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
+            FROM t WHERE len(toks) BETWEEN 30 AND 70 GROUP BY source
         """,
         "corpus_stats": """
             SELECT source,

@@ -176,6 +176,58 @@ def encode_roundtrip_summary(
     return spark.createDataFrame(rows, SUMMARY_SCHEMA)
 
 
+PRUNED_SCHEMA = (
+    "source string, n_rows long, n_tokens long, token_sum long, "
+    "doc_xor long, doc_sum long"
+)
+
+
+def pruned_scan_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: int = 30,
+    hi: int = 70,
+    salt_buckets: int = 8,
+    stripe_tokens: int = 2_000_000,
+) -> DataFrame:
+    """Predicate-pushdown gate: encode the derived tokens table, decode it
+    back with a pushed `n_tok BETWEEN lo AND hi` predicate (file-level
+    manifest prune + stripe-level footer-stats prune + exact row filter —
+    pipeline.decode_table), and aggregate the SURVIVING rows per source with
+    the same O(1)-state checksum lanes as the round-trip gate. The DuckDB
+    oracle filters the re-derived tokens table directly, so a pruning bug
+    that drops or leaks a single row anywhere flips the value hash."""
+    wh = tempfile.mkdtemp(prefix="orc_spark_wh_")
+    try:
+        df = tokens_from_documents(read_documents(spark, sf_dir))
+        encode_table(
+            spark,
+            df,
+            wh,
+            snapshot="pruned",
+            salt_buckets=salt_buckets,
+            stripe_tokens=stripe_tokens,
+        )
+        decoded = decode_table(
+            spark, wh, snapshot="pruned", predicate=("n_tok", lo, hi)
+        )
+        agg_rows = summary_aggregates(summary_narrow_pass(decoded)).collect()
+        rows = [
+            (
+                r["source"],
+                int(r["n_rows"]),
+                int(r["n_tokens"]),
+                int(r["token_sum"]),
+                int(r["doc_xor"]),
+                int(r["doc_sum"]),
+            )
+            for r in agg_rows
+        ]
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(rows, PRUNED_SCHEMA)
+
+
 def codec_plan_report(
     spark: SparkSession, sf_dir: str, probe_rows: int = 4096
 ) -> DataFrame:

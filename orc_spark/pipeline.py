@@ -330,23 +330,74 @@ def _spark_type_str(t: str) -> str:
     return t
 
 
+def stripe_matches(footer: dict, col: str, lo, hi) -> bool:
+    """Stripe-level predicate-pushdown test (ORC stripe-stats PPD): can any
+    row of this stripe satisfy lo <= col <= hi? Conservative: stripes whose
+    footer carries no min/max for `col` (strings, lists) always match."""
+    meta = footer["columns"].get(col)
+    if meta is None:
+        return True
+    st = meta.get("stats") or {}
+    mn, mx = st.get("min"), st.get("max")
+    if mn is None or mx is None:
+        return True
+    return not (mx < lo or mn > hi)
+
+
 def decode_table(
     spark: SparkSession,
     warehouse_path: str,
     snapshot: str | None = None,
     columns: list[str] | None = None,
+    predicate: tuple | None = None,
 ) -> DataFrame:
     """Read committed stripes back into the original rows. Column projection
-    prunes at the stream level (untouched columns are never decompressed)."""
+    prunes at the stream level (untouched columns are never decompressed).
+
+    `predicate=(col, lo, hi)` pushes a between-filter down three levels,
+    mirroring ORC's search-argument model on the Iceberg-style layout:
+      1. FILE level — for doc_id predicates, partitions whose manifest
+         [min_doc_id, max_doc_id] range is disjoint are never opened
+         (O(#partitions) driver-side metadata, like Iceberg manifest
+         pruning; stripes are doc_id-sorted so the file range is tight).
+      2. STRIPE level — stripes whose footer stats for an int column are
+         disjoint from [lo, hi] are skipped before any stream of the blob
+         is decompressed (stripe_matches above).
+      3. ROW level — surviving stripes are filtered exactly, so the result
+         equals an unpruned decode + filter (pruning is transparent; the
+         pruned_scan gate query certifies this against the SQL oracle).
+    Note the mandated salt ANTI-clusters doc_ids across partitions, so
+    file-level pruning pays on source-prefixed id ranges (the salt preserves
+    the source prefix), and stripe-level pruning pays where arrival order
+    correlates with the predicate column — e.g. time-ordered corpora."""
     wh = Warehouse(warehouse_path)
     snapshot = snapshot or wh.current_snapshot_id()
     manifest = wh.read_manifest(snapshot)
     files = wh.committed_files(snapshot)
-    if not files:
+    schema = manifest["schema"] if manifest else {}
+    if predicate:
+        pcol, plo, phi = predicate
+        if pcol not in schema:
+            raise ValueError(f"predicate column {pcol!r} not in table schema")
+        if pcol == "doc_id":
+            files = [
+                p["file"]
+                for p in manifest["partitions"].values()
+                if not (p["max_doc_id"] < plo or p["min_doc_id"] > phi)
+            ]
+            if not files:  # every partition pruned: empty result, no job
+                files = None
+    if files is None or not files:
+        if manifest and predicate:
+            names = columns or list(schema.keys())
+            out_schema = ", ".join(f"{n} {_spark_type_str(schema[n])}" for n in names)
+            return spark.createDataFrame([], out_schema)
         raise ValueError(f"no committed files for snapshot {snapshot}")
-    schema = manifest["schema"]
     names = columns or list(schema.keys())
     out_schema = ", ".join(f"{n} {_spark_type_str(schema[n])}" for n in names)
+    # the predicate column must be decoded to filter rows; drop it after if
+    # the caller did not ask for it
+    read_cols = names if not predicate or pcol in names else [*names, pcol]
 
     def decode_partition(batches):
         for batch in batches:
@@ -354,9 +405,21 @@ def decode_table(
             footers = batch.column("footer")
             for i in range(batch.num_rows):
                 footer = footer_from_json(str(footers[i]))
+                if predicate and not stripe_matches(footer, pcol, plo, phi):
+                    continue
                 rb = decode_stripe(
-                    blobs[i].as_buffer(), footer, columns=names
+                    blobs[i].as_buffer(), footer, columns=read_cols
                 )
+                if predicate:
+                    c = rb.column(pcol)
+                    mask = pc.and_(
+                        pc.greater_equal(c, plo), pc.less_equal(c, phi)
+                    )
+                    rb = rb.filter(mask)
+                    if rb.num_rows == 0:
+                        continue
+                    if pcol not in names:
+                        rb = rb.select(names)
                 yield rb
 
     sdf = spark.read.parquet(*files).select("blob", "footer")
