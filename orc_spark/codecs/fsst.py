@@ -40,25 +40,42 @@ def _windows(data: np.ndarray) -> np.ndarray:
 
 def _match_table(data: np.ndarray, symbols: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """Per-position longest symbol match: (bestlen, bestcode). bestcode=ESCAPE
-    where no symbol matches (emit escape + literal)."""
+    where no symbol matches (emit escape + literal).
+
+    One pass per symbol LENGTH (<=8), not per symbol (<=255): same-length
+    symbols have distinct prefixes, so a single sorted-array searchsorted
+    resolves all of them at once (length-1 symbols via a 256-entry LUT).
+    Lengths ascend so longer matches overwrite shorter — identical matching
+    semantics to the per-symbol loop, ~20x fewer full-buffer vector ops
+    (this was the compress throughput bottleneck)."""
     n = len(data)
     bestlen = np.ones(n, dtype=np.int64)
     bestcode = np.full(n, ESCAPE, dtype=np.int64)
-    if n == 0:
+    if n == 0 or not symbols:
         return bestlen, bestcode
     w = _windows(data)
-    # ascending length so longer matches overwrite shorter ones
-    order = sorted(range(len(symbols)), key=lambda c: len(symbols[c]))
-    for c in order:
-        s = symbols[c]
-        L = len(s)
-        shift = np.uint64((8 - L) * 8)
-        prefix = np.uint64(int.from_bytes(s + b"\x00" * (8 - L), "big")) >> shift
-        m = (w >> shift) == prefix
-        if L > 1:
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    for c, s in enumerate(symbols):
+        p = int.from_bytes(s, "big")
+        by_len.setdefault(len(s), []).append((p, c))
+    for L in sorted(by_len):
+        pairs = sorted(by_len[L])
+        if L == 1:
+            lut = np.full(256, -1, dtype=np.int64)
+            for p, c in pairs:
+                lut[p] = c
+            codes = lut[data]
+            m = codes >= 0
+        else:
+            pref = w >> np.uint64((8 - L) * 8)
+            ps = np.array([p for p, _ in pairs], dtype=np.uint64)
+            cs = np.array([c for _, c in pairs], dtype=np.int64)
+            idx = np.minimum(np.searchsorted(ps, pref), len(ps) - 1)
+            m = ps[idx] == pref
             m[n - L + 1 :] = False  # would run past the end
+            codes = cs[idx]
         bestlen[m] = L
-        bestcode[m] = c
+        bestcode[m] = codes[m]
     return bestlen, bestcode
 
 
