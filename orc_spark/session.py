@@ -51,8 +51,24 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
-    return (
+    builder = (
         builder
+        # the executor JVM co-resides with the Python codec workers, so its
+        # background threads compete with the actual encode work. Measured at
+        # pinned 4 cores (3 alternated pairs, 322M tokens): +3.5% encode
+        # throughput, neutral at 1 core. Components: GC threads capped (the
+        # default scales with cores and steals codec-worker time), shuffle
+        # checksum off (a redundant CPU pass here — the pipeline's own
+        # decode bit-equality verify covers end-to-end integrity; re-enable
+        # if running without verify), bigger shuffle buffers (fewer
+        # flush/fetch round trips for the ~GB-scale token shuffle).
+        .config("spark.shuffle.checksum.enabled", "false")
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.reducer.maxSizeInFlight", "96m")
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={max(2, cpus // 8)} -XX:ConcGCThreads=1",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
@@ -60,7 +76,18 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         # zstd shuffle blocks: ~2x smaller than lz4 — the encode pipeline is
         # bandwidth-bound, and at cluster scale shuffle bytes are network
-        # bytes (measured +22% encode throughput at 4 pinned cores)
-        .config("spark.io.compression.codec", "zstd")
-        .getOrCreate()
+        # bytes (measured +22% encode throughput at 4 pinned cores);
+        # ORC_SPARK_IO_CODEC overrides for benchmarking A/Bs
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("ORC_SPARK_IO_CODEC", "zstd"),
+        )
     )
+    # benchmarking escape hatch: ORC_SPARK_EXTRA_CONF="k=v;k=v" applies
+    # arbitrary Spark confs without code edits — LAST, so it overrides any
+    # default above (A/B harnesses)
+    for kv in os.environ.get("ORC_SPARK_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
+    return builder.getOrCreate()
