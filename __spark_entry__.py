@@ -84,6 +84,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ship(spark)
         return pruned_scan_summary(spark, sf_dir)
 
+    def _pruned_ids(spark, sf_dir):
+        _ship(spark)
+        # string path: lexicographic doc_id range (ids "1".."2~" = every id
+        # starting with 1 or 2) — exercises the manifest min/max file filter
+        return pruned_scan_summary(spark, sf_dir, predicate=("doc_id", "1", "2~"))
+
     def _plan(spark, sf_dir):
         _ship(spark)
         return codec_plan_report(spark, sf_dir)
@@ -109,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filters the re-derived table directly, so pruning must be exactly
         # transparent
         "pruned_scan": _pruned,
+        "pruned_scan_ids": _pruned_ids,
         # text analysis
         "corpus_stats": textops.corpus_stats,
         "token_counts": textops.token_counts,
@@ -263,6 +270,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_xor(h) AS BIGINT) AS doc_xor,
                    CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
             FROM t WHERE len(toks) BETWEEN 30 AND 70 GROUP BY source
+        """,
+        # string-predicate twin: lexicographic doc_id BETWEEN (byte-wise in
+        # both engines for these ASCII ids)
+        "pruned_scan_ids": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor(h) AS BIGINT) AS doc_xor,
+                   CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
+            FROM t WHERE doc_id BETWEEN '1' AND '2~' GROUP BY source
         """,
         "corpus_stats": """
             SELECT source,

@@ -185,18 +185,19 @@ PRUNED_SCHEMA = (
 def pruned_scan_summary(
     spark: SparkSession,
     sf_dir: str,
-    lo: int = 30,
-    hi: int = 70,
+    predicate: tuple = ("n_tok", 30, 70),
     salt_buckets: int = 8,
     stripe_tokens: int = 2_000_000,
 ) -> DataFrame:
     """Predicate-pushdown gate: encode the derived tokens table, decode it
-    back with a pushed `n_tok BETWEEN lo AND hi` predicate (file-level
-    manifest prune + stripe-level footer-stats prune + exact row filter —
+    back with a pushed between-predicate (file-level manifest prune +
+    stripe-level footer-stats prune + exact row filter —
     pipeline.decode_table), and aggregate the SURVIVING rows per source with
     the same O(1)-state checksum lanes as the round-trip gate. The DuckDB
     oracle filters the re-derived tokens table directly, so a pruning bug
-    that drops or leaks a single row anywhere flips the value hash."""
+    that drops or leaks a single row anywhere flips the value hash.
+    Registered twice in the driver contract: `pruned_scan` (int stats path,
+    n_tok) and `pruned_scan_ids` (string path: doc_id manifest ranges)."""
     wh = tempfile.mkdtemp(prefix="orc_spark_wh_")
     try:
         df = tokens_from_documents(read_documents(spark, sf_dir))
@@ -209,7 +210,7 @@ def pruned_scan_summary(
             stripe_tokens=stripe_tokens,
         )
         decoded = decode_table(
-            spark, wh, snapshot="pruned", predicate=("n_tok", lo, hi)
+            spark, wh, snapshot="pruned", predicate=predicate
         )
         agg_rows = summary_aggregates(summary_narrow_pass(decoded)).collect()
         rows = [
