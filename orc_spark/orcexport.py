@@ -1,0 +1,155 @@
+"""Minimal ORC v1 FILE writer around OUR encoded streams — the reverse
+direction of orcmeta.py: where orcmeta slices liborc's bytes for our decoder
+to conform against, this wraps our RLEv2 stream bytes in a spec-conformant
+uncompressed ORC container so the REFERENCE reader (liborc via pyarrow.orc)
+decodes OUR encoder's output. Together they close the conformance loop both
+ways at the stream level (SURVEY.md §5.1).
+
+Hand-built protobuf per the public ORC v1 spec ([ORCv1], orc_proto.proto):
+PostScript{footerLength=1, compression=2, compressionBlockSize=3,
+version=4, metadataLength=5, writerVersion=6, magic=8000};
+Footer{headerLength=1, contentLength=2, stripes=3, types=4, numberOfRows=6,
+rowIndexStride=8}; StripeInformation{offset=1, indexLength=2, dataLength=3,
+footerLength=4, numberOfRows=5}; StripeFooter{streams=1, columns=2};
+Stream{kind=1, column=2, length=3}; ColumnEncoding{kind=1};
+Type{kind=1, subtypes=2, fieldNames=3}.
+
+Only what the conformance tests need: single-stripe, uncompressed,
+struct<x:long> or struct<x:list<int>>, DIRECT_V2 everywhere, no indexes.
+"""
+
+from __future__ import annotations
+
+MAGIC = b"ORC"
+
+# Type.Kind enum values ([ORCv1])
+_LONG = 4
+_INT = 3
+_LIST = 10
+_STRUCT = 12
+
+_DIRECT = 0  # ColumnEncoding.Kind
+_DIRECT_V2 = 2
+
+_DATA = 1  # Stream.Kind
+_LENGTH = 2
+
+
+def _uv(out: bytearray, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _field(out: bytearray, fn: int, v) -> None:
+    """Encode one protobuf field: int -> varint, bytes -> length-delimited."""
+    if isinstance(v, int):
+        _uv(out, (fn << 3) | 0)
+        _uv(out, v)
+    else:
+        _uv(out, (fn << 3) | 2)
+        _uv(out, len(v))
+        out.extend(v)
+
+
+def _msg(*fields) -> bytes:
+    out = bytearray()
+    for fn, v in fields:
+        _field(out, fn, v)
+    return bytes(out)
+
+
+def _type_struct(subtypes: list[int], names: list[str]) -> bytes:
+    out = bytearray()
+    _field(out, 1, _STRUCT)
+    for s in subtypes:
+        _field(out, 2, s)
+    for n in names:
+        _field(out, 3, n.encode())
+    return bytes(out)
+
+
+def _type(kind: int, subtypes: list[int] = ()) -> bytes:
+    out = bytearray()
+    _field(out, 1, kind)
+    for s in subtypes:
+        _field(out, 2, s)
+    return bytes(out)
+
+
+def write_long_file(path: str, data_stream: bytes, n_rows: int) -> None:
+    """struct<x:bigint>, one stripe, column 1 DATA = our RLEv2 bytes."""
+    _write(
+        path,
+        n_rows,
+        types=[_type_struct([1], ["x"]), _type(_LONG)],
+        streams=[(1, _DATA, data_stream)],
+        encodings=[_DIRECT, _DIRECT_V2],
+    )
+
+
+def write_list_file(
+    path: str, length_stream: bytes, child_stream: bytes, n_rows: int
+) -> None:
+    """struct<x:list<int>>: column 1 LENGTH + column 2 DATA, our bytes."""
+    _write(
+        path,
+        n_rows,
+        types=[_type_struct([1], ["x"]), _type(_LIST, [2]), _type(_INT)],
+        streams=[(1, _LENGTH, length_stream), (2, _DATA, child_stream)],
+        encodings=[_DIRECT, _DIRECT_V2, _DIRECT_V2],
+    )
+
+
+def _write(path, n_rows, types, streams, encodings):
+    body = b"".join(s for _, _, s in streams)
+    sf = bytearray()
+    for col, kind, s in streams:
+        _field(sf, 1, _msg((1, kind), (2, col), (3, len(s))))
+    for enc in encodings:
+        _field(sf, 2, _msg((1, enc)))
+    sf = bytes(sf)
+
+    stripe_info = _msg(
+        (1, len(MAGIC)),  # offset
+        (2, 0),  # indexLength
+        (3, len(body)),  # dataLength
+        (4, len(sf)),  # footerLength
+        (5, n_rows),
+    )
+    footer = bytearray()
+    _field(footer, 1, len(MAGIC))  # headerLength
+    _field(footer, 2, len(MAGIC) + len(body) + len(sf))  # contentLength
+    _field(footer, 3, stripe_info)
+    for t in types:
+        _field(footer, 4, t)
+    _field(footer, 6, n_rows)
+    _field(footer, 8, 0)  # rowIndexStride: no indexes
+    footer = bytes(footer)
+
+    ps = bytearray()
+    _field(ps, 1, len(footer))
+    _field(ps, 2, 0)  # CompressionKind NONE
+    _field(ps, 3, 0x10000)
+    _uv(ps, (4 << 3) | 0)  # version [0, 12]
+    _uv(ps, 0)
+    _uv(ps, (4 << 3) | 0)
+    _uv(ps, 12)
+    _field(ps, 5, 0)  # metadataLength (no metadata section)
+    _field(ps, 6, 1)  # writerVersion
+    _field(ps, 8000, b"ORC")  # magic
+    ps = bytes(ps)
+    assert len(ps) < 256
+
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        fh.write(body)
+        fh.write(sf)
+        fh.write(footer)
+        fh.write(ps)
+        fh.write(bytes([len(ps)]))

@@ -1,0 +1,88 @@
+"""Reverse conformance: the REFERENCE reader (liborc via pyarrow.orc) must
+decode OUR encoder's RLEv2 bytes bit-exactly. orcexport wraps our raw
+streams in a minimal spec-conformant uncompressed ORC container; any
+deviation of our encoder from the public RLEv2 spec surfaces as a liborc
+read error or value mismatch. Forward direction (we decode liborc's bytes)
+lives in test_rlev2_conformance.py — together they close the loop."""
+
+import numpy as np
+import pyarrow.orc as paorc
+import pytest
+
+from orc_spark.codecs.rlev2 import encode_rlev2
+from orc_spark.fixtures import tokens_arrow
+from orc_spark.orcexport import write_list_file, write_long_file
+
+
+def _roundtrip_via_liborc(tmp_path, name, vals: np.ndarray) -> None:
+    f = str(tmp_path / f"{name}.orc")
+    write_long_file(f, encode_rlev2(vals, signed=True), len(vals))
+    got = np.asarray(paorc.ORCFile(f).read().column("x"))
+    assert np.array_equal(got, vals), name
+
+
+def test_liborc_reads_our_short_repeat(tmp_path):
+    _roundtrip_via_liborc(tmp_path, "rep", np.full(4096, 42, dtype=np.int64))
+
+
+def test_liborc_reads_our_direct(tmp_path):
+    rng = np.random.default_rng(7)
+    _roundtrip_via_liborc(
+        tmp_path, "direct", rng.integers(-(1 << 40), 1 << 40, 5000, dtype=np.int64)
+    )
+
+
+def test_liborc_reads_our_delta(tmp_path):
+    base = np.arange(5000, dtype=np.int64) * 3 + 17
+    _roundtrip_via_liborc(tmp_path, "delta", base)
+    rng = np.random.default_rng(8)
+    _roundtrip_via_liborc(
+        tmp_path, "deltaish", base + rng.integers(0, 4, 5000, dtype=np.int64)
+    )
+
+
+def test_liborc_reads_our_patched_base(tmp_path):
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 1 << 10, 4096, dtype=np.int64)
+    vals[rng.choice(4096, 40, replace=False)] += 1 << 35
+    _roundtrip_via_liborc(tmp_path, "patched", vals)
+
+
+def test_liborc_reads_our_negatives_and_boundaries(tmp_path):
+    _roundtrip_via_liborc(
+        tmp_path,
+        "bounds",
+        np.array(
+            [0, -1, 1, 2**62, -(2**62), 123456789, -987654321] * 100,
+            dtype=np.int64,
+        ),
+    )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_liborc_reads_our_fuzz(tmp_path, seed):
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(100, 8000))
+    w = int(rng.integers(1, 50))
+    vals = rng.integers(-(1 << w), 1 << w, n, dtype=np.int64)
+    if rng.random() < 0.5:
+        vals[rng.choice(n, max(1, n // 200), replace=False)] += 1 << min(w + 20, 62)
+    _roundtrip_via_liborc(tmp_path, f"fuzz{seed}", vals)
+
+
+def test_liborc_reads_our_canonical_token_streams(tmp_path):
+    """The flagship shape: the canonical table's tokens column as
+    list<int> — our LENGTH and child DATA streams, read by liborc."""
+    col = tokens_arrow(3000)["tokens"].combine_chunks()
+    lens = np.asarray(col.value_lengths(), dtype=np.int64)
+    flat = np.asarray(col.flatten(), dtype=np.int64)
+    f = str(tmp_path / "tokens.orc")
+    write_list_file(
+        f,
+        encode_rlev2(lens, signed=False),
+        encode_rlev2(flat, signed=True),
+        len(lens),
+    )
+    got = paorc.ORCFile(f).read().column("x").combine_chunks()
+    assert np.array_equal(np.asarray(got.value_lengths()), lens)
+    assert np.array_equal(np.asarray(got.flatten(), dtype=np.int64), flat)
