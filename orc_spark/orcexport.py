@@ -25,14 +25,17 @@ MAGIC = b"ORC"
 # Type.Kind enum values ([ORCv1])
 _LONG = 4
 _INT = 3
+_STRING = 7
 _LIST = 10
 _STRUCT = 12
 
 _DIRECT = 0  # ColumnEncoding.Kind
 _DIRECT_V2 = 2
+_DICTIONARY_V2 = 3
 
 _DATA = 1  # Stream.Kind
 _LENGTH = 2
+_DICTIONARY_DATA = 3
 
 
 def _uv(out: bytearray, v: int) -> None:
@@ -106,13 +109,52 @@ def write_list_file(
     )
 
 
+def write_string_direct_file(
+    path: str, length_stream: bytes, data_bytes: bytes, n_rows: int
+) -> None:
+    """struct<x:string>, DIRECT_V2: our LENGTH rlev2 + concat utf8 bytes."""
+    _write(
+        path,
+        n_rows,
+        types=[_type_struct([1], ["x"]), _type(_STRING)],
+        streams=[(1, _LENGTH, length_stream), (1, _DATA, data_bytes)],
+        encodings=[_DIRECT, _DIRECT_V2],
+    )
+
+
+def write_string_dict_file(
+    path: str,
+    idx_stream: bytes,
+    dict_bytes: bytes,
+    dictlen_stream: bytes,
+    n_rows: int,
+    dict_size: int,
+) -> None:
+    """struct<x:string>, DICTIONARY_V2: our sorted-dictionary parts verbatim
+    (index DATA rlev2 + concat dictionary bytes + entry LENGTH rlev2)."""
+    _write(
+        path,
+        n_rows,
+        types=[_type_struct([1], ["x"]), _type(_STRING)],
+        streams=[
+            (1, _DATA, idx_stream),
+            (1, _DICTIONARY_DATA, dict_bytes),
+            (1, _LENGTH, dictlen_stream),
+        ],
+        encodings=[_DIRECT, (_DICTIONARY_V2, dict_size)],
+    )
+
+
 def _write(path, n_rows, types, streams, encodings):
     body = b"".join(s for _, _, s in streams)
     sf = bytearray()
     for col, kind, s in streams:
         _field(sf, 1, _msg((1, kind), (2, col), (3, len(s))))
     for enc in encodings:
-        _field(sf, 2, _msg((1, enc)))
+        if isinstance(enc, tuple):
+            _field(sf, 2, _msg((1, enc[0]), (2, enc[1])))
+        else:
+            _field(sf, 2, _msg((1, enc)))
     sf = bytes(sf)
 
     stripe_info = _msg(

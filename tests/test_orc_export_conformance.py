@@ -70,6 +70,36 @@ def test_liborc_reads_our_fuzz(tmp_path, seed):
     _roundtrip_via_liborc(tmp_path, f"fuzz{seed}", vals)
 
 
+def test_liborc_reads_our_string_direct(tmp_path):
+    import pyarrow as pa
+
+    from orc_spark.codecs import strings as scodec
+    from orc_spark.orcexport import write_string_direct_file
+
+    vals = ["doc_%05d" % i for i in range(3000)] + ["", "東京", "naïve"]
+    parts = scodec.encode_direct(pa.array(vals, type=pa.large_string()), use_fsst=False)
+    f = str(tmp_path / "sdir.orc")
+    write_string_direct_file(f, parts["LENGTH"], parts["DATA"], len(vals))
+    assert paorc.ORCFile(f).read().column("x").to_pylist() == vals
+
+
+def test_liborc_reads_our_string_dictionary(tmp_path):
+    import pyarrow as pa
+
+    from orc_spark.codecs import strings as scodec
+    from orc_spark.orcexport import write_string_dict_file
+
+    vals = (["alpha", "beta", "gamma", "delta"] * 800)[:3000]
+    parts, dsize = scodec.encode_dictionary(
+        pa.array(vals, type=pa.large_string()), use_fsst=False
+    )
+    f = str(tmp_path / "sdict.orc")
+    write_string_dict_file(
+        f, parts["DATA"], parts["DICTIONARY_DATA"], parts["DICT_LENGTH"], len(vals), dsize
+    )
+    assert paorc.ORCFile(f).read().column("x").to_pylist() == vals
+
+
 def test_liborc_reads_our_canonical_token_streams(tmp_path):
     """The flagship shape: the canonical table's tokens column as
     list<int> — our LENGTH and child DATA streams, read by liborc."""
