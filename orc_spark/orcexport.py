@@ -145,6 +145,65 @@ def write_string_dict_file(
     )
 
 
+def write_batch_file(path: str, batch) -> None:
+    """Write an Arrow RecordBatch (columns: string | int32/int64 |
+    list<int32>, no nulls) as a complete single-stripe reference-readable
+    ORC file. Columns re-encode from decoded values with liborc's exact
+    stream conventions (signed zigzag RLEv2 int DATA, unsigned LENGTH
+    streams, direct strings), so nothing engine-specific (FSST, zstd
+    wrappers, unsigned int streams) leaks into the container. This is the
+    per-stripe kernel of pipeline.export_orc — the interchange sink that
+    lets any ORC reader consume the warehouse."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .codecs.rlev2 import encode_rlev2
+    from .codecs.strings import to_offsets_bytes
+
+    types: list[bytes] = [b""]  # placeholder for root struct, filled below
+    streams: list[tuple[int, int, bytes]] = []
+    encodings: list = [_DIRECT]
+    subtypes: list[int] = []
+    next_id = 1
+    for name, col in zip(batch.schema.names, batch.columns):
+        if col.null_count:
+            raise ValueError(
+                f"ORC export supports null-free columns only (column {name!r});"
+                " PRESENT/boolean-RLE streams are not implemented"
+            )
+        cid = next_id
+        subtypes.append(cid)
+        t = col.type
+        if pa.types.is_integer(t):
+            vals = np.asarray(col.cast(pa.int64()), dtype=np.int64)
+            wide = pa.types.is_signed_integer(t) and t.bit_width == 64
+            types.append(_type(_LONG if wide else _INT))
+            streams.append((cid, _DATA, encode_rlev2(vals, signed=True)))
+            encodings.append(_DIRECT_V2)
+            next_id += 1
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            offs, data = to_offsets_bytes(col)
+            types.append(_type(_STRING))
+            streams.append((cid, _LENGTH, encode_rlev2(np.diff(offs), signed=False)))
+            streams.append((cid, _DATA, bytes(data)))
+            encodings.append(_DIRECT_V2)
+            next_id += 1
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            col = col.cast(pa.list_(pa.int32()))
+            lens = np.asarray(col.value_lengths(), dtype=np.int64)
+            flat = np.asarray(col.flatten(), dtype=np.int64)
+            types.append(_type(_LIST, [cid + 1]))
+            types.append(_type(_INT))
+            streams.append((cid, _LENGTH, encode_rlev2(lens, signed=False)))
+            streams.append((cid + 1, _DATA, encode_rlev2(flat, signed=True)))
+            encodings.extend([_DIRECT_V2, _DIRECT_V2])
+            next_id += 2
+        else:
+            raise TypeError(f"unsupported ORC export type {t} for {name!r}")
+    types[0] = _type_struct(subtypes, list(batch.schema.names))
+    _write(path, batch.num_rows, types, streams, encodings)
+
+
 def _write(path, n_rows, types, streams, encodings):
     body = b"".join(s for _, _, s in streams)
     sf = bytearray()

@@ -426,6 +426,60 @@ def decode_table(
     return sdf.mapInArrow(decode_partition, out_schema)
 
 
+EXPORT_META_SCHEMA = "pid string, stripe_id long, file string, n_rows long, orc_bytes long"
+
+
+def export_orc(
+    spark: SparkSession,
+    warehouse_path: str,
+    out_dir: str,
+    snapshot: str | None = None,
+) -> DataFrame:
+    """Interchange sink: write every committed stripe as a standalone
+    reference-readable ORC file (orcexport.write_batch_file — liborc stream
+    conventions, conformance-tested). One output file per stripe, written
+    executor-side with tmp + atomic rename (idempotent under retry, same
+    model as the encode sink); only O(#stripes) metadata rows return to the
+    driver. A user of the reference ORC stack can consume the warehouse
+    with any ORC reader after this — no engine code needed."""
+    wh = Warehouse(warehouse_path)
+    snapshot = snapshot or wh.current_snapshot_id()
+    files = wh.committed_files(snapshot)
+    if not files:
+        raise ValueError(f"no committed files for snapshot {snapshot}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def export_partition(batches):
+        from .orcexport import write_batch_file
+
+        metas = []
+        for batch in batches:
+            for i in range(batch.num_rows):
+                pid = str(batch.column("pid")[i])
+                sid = int(batch.column("stripe_id")[i].as_py())
+                footer = footer_from_json(str(batch.column("footer")[i]))
+                rb = decode_stripe(batch.column("blob")[i].as_buffer(), footer)
+                safe_pid = pid.replace("/", "_")
+                final = os.path.join(out_dir, f"{safe_pid}-{sid}.orc")
+                tmp = final + f".inprogress-{uuid.uuid4().hex[:8]}"
+                write_batch_file(tmp, rb)
+                os.replace(tmp, final)
+                metas.append(
+                    {
+                        "pid": pid,
+                        "stripe_id": sid,
+                        "file": final,
+                        "n_rows": rb.num_rows,
+                        "orc_bytes": os.path.getsize(final),
+                    }
+                )
+        if metas:
+            yield pa.RecordBatch.from_pylist(metas)
+
+    sdf = spark.read.parquet(*files).select("pid", "stripe_id", "blob", "footer")
+    return sdf.mapInArrow(export_partition, EXPORT_META_SCHEMA)
+
+
 def _multiset_diff_counts(a: DataFrame, b: DataFrame, cols: list[str]) -> dict:
     """Exact multiset difference via union with +1/-1 tags — one shuffle and
     one pass over each side (semantically identical to symmetric exceptAll,
