@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from orc_spark.flagship import (
         codec_plan_report,
         encode_roundtrip_summary,
+        orc_export_summary,
         pruned_scan_summary,
     )
     from orc_spark.multimodal import multimodal_frames, multimodal_meta
@@ -89,6 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # string path: lexicographic doc_id range (ids "1".."2~" = every id
         # starting with 1 or 2) — exercises the manifest min/max file filter
         return pruned_scan_summary(spark, sf_dir, predicate=("doc_id", "1", "2~"))
+
+    def _export(spark, sf_dir):
+        _ship(spark)
+        return orc_export_summary(spark, sf_dir)
 
     def _plan(spark, sf_dir):
         _ship(spark)
@@ -116,6 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transparent
         "pruned_scan": _pruned,
         "pruned_scan_ids": _pruned_ids,
+        # interchange sink: encode -> export as standalone ORC files -> read
+        # back with SPARK'S OWN ORC READER (orc-core) -> aggregates; the
+        # reference reader sits inside the gate loop
+        "orc_export": _export,
         # text analysis
         "corpus_stats": textops.corpus_stats,
         "token_counts": textops.token_counts,
@@ -270,6 +279,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_xor(h) AS BIGINT) AS doc_xor,
                    CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
             FROM t WHERE len(toks) BETWEEN 30 AND 70 GROUP BY source
+        """,
+        # interchange sink: same derivation, unfiltered — what Spark's own
+        # ORC reader must see after our writer's files round-trip
+        "orc_export": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor(h) AS BIGINT) AS doc_xor,
+                   CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
+            FROM t GROUP BY source
         """,
         # string-predicate twin: lexicographic doc_id BETWEEN (byte-wise in
         # both engines for these ASCII ids)

@@ -229,6 +229,52 @@ def pruned_scan_summary(
     return spark.createDataFrame(rows, PRUNED_SCHEMA)
 
 
+def orc_export_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 8,
+    stripe_tokens: int = 2_000_000,
+) -> DataFrame:
+    """Interchange-sink gate: encode → export_orc → read the standalone ORC
+    files back with SPARK'S OWN ORC READER (orc-core, not our decoder) →
+    per-source checksum aggregates. The DuckDB oracle re-derives the same
+    aggregates from raw documents, so a single byte our ORC writer gets
+    wrong anywhere in the container or streams flips the value hash — the
+    reference reader is IN the gate loop."""
+    from .pipeline import export_orc
+
+    wh = tempfile.mkdtemp(prefix="orc_spark_wh_")
+    out = tempfile.mkdtemp(prefix="orc_spark_export_")
+    try:
+        df = tokens_from_documents(read_documents(spark, sf_dir))
+        encode_table(
+            spark,
+            df,
+            wh,
+            snapshot="export",
+            salt_buckets=salt_buckets,
+            stripe_tokens=stripe_tokens,
+        )
+        export_orc(spark, wh, out, snapshot="export").collect()
+        back = spark.read.orc(f"{out}/*.orc")
+        agg_rows = summary_aggregates(summary_narrow_pass(back)).collect()
+        rows = [
+            (
+                r["source"],
+                int(r["n_rows"]),
+                int(r["n_tokens"]),
+                int(r["token_sum"]),
+                int(r["doc_xor"]),
+                int(r["doc_sum"]),
+            )
+            for r in agg_rows
+        ]
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, PRUNED_SCHEMA)
+
+
 def codec_plan_report(
     spark: SparkSession, sf_dir: str, probe_rows: int = 4096
 ) -> DataFrame:
