@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--verify", action="store_true", help="decode + bit-equality check")
     ap.add_argument(
+        "--export-orc",
+        metavar="DIR",
+        help="after the encode, export the warehouse as standalone "
+        "reference-readable ORC files into DIR (one per stripe)",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="run one throwaway encode first (amortizes Python-worker/JIT "
@@ -107,6 +113,16 @@ def main() -> None:
         res = verify_roundtrip(df, dec)
         out["verify_s"] = round(time.perf_counter() - t1, 3)
         out["verify_ok"] = res["ok"]
+    if args.export_orc:
+        from orc_spark.pipeline import export_orc
+
+        t2 = time.perf_counter()
+        metas = export_orc(
+            spark, args.warehouse, args.export_orc, snapshot=args.snapshot
+        ).collect()
+        out["export_s"] = round(time.perf_counter() - t2, 3)
+        out["export_files"] = len(metas)
+        out["export_bytes"] = sum(m["orc_bytes"] for m in metas)
     print(json.dumps(out))
     spark.stop()
 

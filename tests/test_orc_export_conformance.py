@@ -100,6 +100,42 @@ def test_liborc_reads_our_string_dictionary(tmp_path):
     assert paorc.ORCFile(f).read().column("x").to_pylist() == vals
 
 
+def test_liborc_reads_our_fuzzed_batches(tmp_path):
+    """Whole-batch fuzz: random null-free mixed batches through
+    write_batch_file, read back by liborc, value-identical."""
+    import pyarrow as pa
+
+    from orc_spark.orcexport import write_batch_file
+
+    for seed in range(5):
+        rng = np.random.default_rng(500 + seed)
+        n = int(rng.integers(1, 3000))
+        ints = rng.integers(-(1 << 50), 1 << 50, n, dtype=np.int64)
+        words = ["w%d" % v for v in rng.integers(0, 50, n)]
+        lens = rng.integers(0, 12, n)
+        flat = rng.integers(0, 1 << 30, int(lens.sum()), dtype=np.int64)
+        offs = np.zeros(n + 1, dtype=np.int32)
+        offs[1:] = np.cumsum(lens, dtype=np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(flat.astype(np.int32), type=pa.int32()),
+        )
+        batch = pa.record_batch(
+            [pa.array(ints), pa.array(words, type=pa.string()), lists],
+            names=["v", "s", "tokens"],
+        )
+        f = str(tmp_path / f"batch{seed}.orc")
+        write_batch_file(f, batch)
+        t = paorc.ORCFile(f).read()
+        assert np.array_equal(np.asarray(t.column("v")), ints)
+        assert t.column("s").to_pylist() == words
+        got = t.column("tokens").combine_chunks()
+        assert np.array_equal(np.asarray(got.value_lengths()), lens)
+        assert np.array_equal(
+            np.asarray(got.flatten(), dtype=np.int64), flat
+        )
+
+
 def test_liborc_reads_our_canonical_token_streams(tmp_path):
     """The flagship shape: the canonical table's tokens column as
     list<int> — our LENGTH and child DATA streams, read by liborc."""
