@@ -145,15 +145,67 @@ def write_string_dict_file(
     )
 
 
+_PRESENT = 0  # Stream.Kind
+
+
+def byte_rle(data: bytes) -> bytes:
+    """ORC Byte-RLE ([ORCv1]): control byte 0..127 = run of (control+3)
+    copies of the next byte; 128..255 (=256-n) = n literal bytes follow."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = None
+
+    def flush_literals(end):
+        nonlocal lit_start
+        while lit_start is not None and lit_start < end:
+            m = min(128, end - lit_start)
+            out.append(256 - m)
+            out.extend(data[lit_start : lit_start + m])
+            lit_start += m
+        lit_start = None
+
+    while i < n:
+        j = i
+        while j < n and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            flush_literals(i)
+            while run >= 3:
+                m = min(130, run)
+                out.append(m - 3)
+                out.append(data[i])
+                run -= m
+                i += m
+            if run:  # short tail joins the next literal group
+                lit_start = i
+                i += run
+        else:
+            if lit_start is None:
+                lit_start = i
+            i = j
+    flush_literals(i)
+    return bytes(out)
+
+
+def present_stream(valid) -> bytes:
+    """ORC PRESENT stream: validity bits MSB-first, Byte-RLE compressed."""
+    import numpy as np
+
+    bits = np.packbits(np.asarray(valid, dtype=bool))  # MSB-first, zero-pad
+    return byte_rle(bits.tobytes())
+
+
 def write_batch_file(path: str, batch) -> None:
     """Write an Arrow RecordBatch (columns: string | int32/int64 |
-    list<int32>, no nulls) as a complete single-stripe reference-readable
-    ORC file. Columns re-encode from decoded values with liborc's exact
-    stream conventions (signed zigzag RLEv2 int DATA, unsigned LENGTH
-    streams, direct strings), so nothing engine-specific (FSST, zstd
-    wrappers, unsigned int streams) leaks into the container. This is the
-    per-stripe kernel of pipeline.export_orc — the interchange sink that
-    lets any ORC reader consume the warehouse."""
+    list<int32>; nulls OK except inside list elements) as a complete
+    single-stripe reference-readable ORC file. Columns re-encode from
+    decoded values with liborc's exact stream conventions (signed zigzag
+    RLEv2 int DATA, unsigned LENGTH streams, direct strings, Byte-RLE
+    PRESENT bitmaps), so nothing engine-specific (FSST, zstd wrappers,
+    unsigned int streams) leaks into the container. This is the per-stripe
+    kernel of pipeline.export_orc — the interchange sink that lets any ORC
+    reader consume the warehouse."""
     import numpy as np
     import pyarrow as pa
 
@@ -166,13 +218,12 @@ def write_batch_file(path: str, batch) -> None:
     subtypes: list[int] = []
     next_id = 1
     for name, col in zip(batch.schema.names, batch.columns):
-        if col.null_count:
-            raise ValueError(
-                f"ORC export supports null-free columns only (column {name!r});"
-                " PRESENT/boolean-RLE streams are not implemented"
-            )
         cid = next_id
         subtypes.append(cid)
+        if col.null_count:
+            valid = ~np.asarray(col.is_null())
+            streams.append((cid, _PRESENT, present_stream(valid)))
+            col = col.drop_null()
         t = col.type
         if pa.types.is_integer(t):
             vals = np.asarray(col.cast(pa.int64()), dtype=np.int64)
@@ -190,6 +241,10 @@ def write_batch_file(path: str, batch) -> None:
             next_id += 1
         elif pa.types.is_list(t) or pa.types.is_large_list(t):
             col = col.cast(pa.list_(pa.int32()))
+            if col.flatten().null_count:
+                raise ValueError(
+                    f"ORC export: null list ELEMENTS unsupported ({name!r})"
+                )
             lens = np.asarray(col.value_lengths(), dtype=np.int64)
             flat = np.asarray(col.flatten(), dtype=np.int64)
             types.append(_type(_LIST, [cid + 1]))

@@ -60,11 +60,13 @@ def test_spark_native_reader_consumes_export(exported):
     assert got == expect
 
 
-def test_export_rejects_nulls(tmp_path):
+def test_export_rejects_null_list_elements(tmp_path):
     import pyarrow as pa
 
     from orc_spark.orcexport import write_batch_file
 
-    batch = pa.record_batch([pa.array([1, None], type=pa.int64())], names=["v"])
-    with pytest.raises(ValueError, match="null-free"):
+    batch = pa.record_batch(
+        [pa.array([[1, None]], type=pa.list_(pa.int32()))], names=["tokens"]
+    )
+    with pytest.raises(ValueError, match="null list ELEMENTS"):
         write_batch_file(str(tmp_path / "x.orc"), batch)
