@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": textops.jaccard_pairs,
         "minhash_signatures": textops.minhash_signatures,
         "minhash_candidates": textops.minhash_candidates,
+        "dedup_clusters": textops.dedup_clusters,
         "simhash": textops.simhash32,
         # similarity search. embed_dup_pairs / lsh_refined_pairs keep their
         # true near-dup default (0.99) for API callers; the gate
@@ -395,6 +396,29 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+        """,
+        # connected components over the SAME candidate graph via recursive
+        # reachability; labels are VARCHAR so min() orders exactly like the
+        # Spark side's lexicographic string min
+        "dedup_clusters": f"""
+            WITH RECURSIVE sig AS ({_MINHASH_SIG}),
+            cand AS (
+              SELECT DISTINCT CAST(a.doc_id AS VARCHAR) AS id_a,
+                              CAST(b.doc_id AS VARCHAR) AS id_b
+              FROM sig a JOIN sig b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            e AS (SELECT id_a AS u, id_b AS v FROM cand
+                  UNION ALL SELECT id_b, id_a FROM cand),
+            nodes AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS node FROM documents),
+            r AS (
+              SELECT node, node AS lab FROM nodes
+              UNION
+              SELECT e.u AS node, r.lab FROM r JOIN e ON e.v = r.node
+            )
+            SELECT node AS doc_id, min(lab) AS cluster_id,
+                   (node = min(lab)) AS is_keeper
+            FROM r GROUP BY node
         """,
         "simhash": f"""
             WITH wh AS (

@@ -318,6 +318,68 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iters: int = 20
+) -> DataFrame:
+    """Near-dup CLUSTER assignment — the endpoint of the dedup family:
+    connected components over the MinHash-LSH candidate graph, labeling
+    every document (singletons included) with the lexicographic-min doc_id
+    of its component; `is_keeper` marks the one canonical doc per cluster.
+
+    Iterative min-label propagation: each round is one equi-join of the
+    undirected edge list against current labels plus one min-aggregate —
+    both map-side-combinable shuffles on doc_id keys, no all-pairs anywhere.
+    Rounds needed = graph diameter (near-dup clusters are tiny cliques, so
+    2-3 in practice; hard cap `max_iters`); the driver checks convergence
+    with an O(1)-row count per round. At 10^12-doc scale the same loop
+    holds (the candidate graph is band-bucketed, edges ~ O(dups)); the
+    classic large-star/small-star refinement drops in here unchanged if
+    diameters ever grow. Labels are doc_id STRINGS so the DuckDB recursive
+    reachability oracle orders identically."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("node"))
+    cand = minhash_candidates(spark, sf_dir).select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+    )
+    edges = (
+        cand.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(cand.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    ).persist()
+    labels = docs.select("node", F.col("node").alias("lab")).persist()
+    try:
+        for _ in range(max_iters):
+            prop = edges.join(
+                labels, edges["v"] == labels["node"], "inner"
+            ).select(F.col("u").alias("node"), F.col("lab"))
+            new_labels = (
+                labels.unionAll(prop)
+                .groupBy("node")
+                .agg(F.min("lab").alias("lab"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.lab") != F.col("o.lab"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    # the final labels stay persisted (truncating the N-iteration lineage);
+    # no driver collect — the result remains a distributed DataFrame and
+    # Spark's ContextCleaner reclaims the cache once consumers drop it
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("node") == F.col("lab")).alias("is_keeper"),
+    )
+
+
 def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over word multiset: bit b of md5-h32(word) votes ±1;
     bit set where the vote sum is positive.

@@ -107,3 +107,34 @@ def test_minhash_candidates_catch_planted_near_dup(spark, tmp_path):
     }
     a, b = sorted([rows["doc_id"][0], rows["doc_id"][1]])
     assert (a, b) in pairs
+
+
+def test_dedup_clusters_merge_planted_near_dups(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orc_spark import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(12).collect()
+    rows = {c: [r[c] for r in docs] for c in docs[0].asDict()}
+    # a 3-clique of near-dups: docs 1 and 2 are tiny edits of doc 0
+    rows["text"][1] = rows["text"][0] + " extra"
+    rows["text"][2] = rows["text"][0] + " more"
+    d = str(tmp_path / "clus")
+    os.makedirs(d)
+    pq.write_table(pa.table(rows), f"{d}/documents.parquet")
+
+    labels = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in textops.dedup_clusters(spark, d).collect()
+    }
+    assert len(labels) == 12  # every doc labeled, singletons included
+    trio = [str(rows["doc_id"][i]) for i in (0, 1, 2)]
+    cids = {labels[t][0] for t in trio}
+    assert cids == {min(trio)}, "planted near-dup clique not merged"
+    # exactly one keeper per cluster, and it is the cluster_id doc
+    keepers = [d_ for d_, (c, k) in labels.items() if k]
+    assert sorted(keepers) == sorted({c for c, _ in labels.values()})
+    # every candidate edge ended up intra-cluster
+    for r in textops.minhash_candidates(spark, d).collect():
+        assert labels[str(r["id_a"])][0] == labels[str(r["id_b"])][0]
