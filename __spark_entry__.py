@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         encode_roundtrip_summary,
         orc_export_summary,
         pruned_scan_summary,
+        vocab_top_tokens,
     )
     from orc_spark.multimodal import multimodal_frames, multimodal_meta
 
@@ -94,6 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _export(spark, sf_dir):
         _ship(spark)
         return orc_export_summary(spark, sf_dir)
+
+    def _vocab(spark, sf_dir):
+        _ship(spark)
+        return vocab_top_tokens(spark, sf_dir)
 
     def _plan(spark, sf_dir):
         _ship(spark)
@@ -125,6 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # back with SPARK'S OWN ORC READER (orc-core) -> aggregates; the
         # reference reader sits inside the gate loop
         "orc_export": _export,
+        # analytics THROUGH the warehouse: top-k token histogram computed
+        # from the decoded stripes (engine-as-source)
+        "vocab_top_tokens": _vocab,
         # text analysis
         "corpus_stats": textops.corpus_stats,
         "token_counts": textops.token_counts,
@@ -152,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_refined_pairs": lambda spark, sf_dir: similarity.lsh_refined_pairs(
             spark, sf_dir, min_sim_f6=200_000
         ),
+        "embedding_quantize": similarity.embedding_quantize,
         "ivf_assign": similarity.ivf_assign,
         "ivf_list_sizes": similarity.ivf_list_sizes,
         "token_counts_bpe": textops.token_counts_bpe,
@@ -297,6 +306,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_xor(h) AS BIGINT) AS doc_xor,
                    CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
             FROM t GROUP BY source
+        """,
+        "vocab_top_tokens": f"""
+            WITH tok AS (
+              SELECT unnest([{_H48.format(x='w')} % 50257
+                             for w in string_split(text,' ')]) AS token
+              FROM documents),
+            c AS (SELECT CAST(token AS INTEGER) AS token,
+                         count(*) AS n FROM tok GROUP BY 1)
+            SELECT token, CAST(n AS BIGINT) AS n,
+                   CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INTEGER) AS rnk
+            FROM c QUALIFY rnk <= 50
         """,
         # string-predicate twin: lexicographic doc_id BETWEEN (byte-wise in
         # both engines for these ASCII ids)
@@ -475,6 +495,33 @@ def oracle_sql() -> dict[str, str]:
                        * 1000000) AS BIGINT) AS sim_f6
               FROM a, b WHERE id_a < id_b)
             SELECT id_a, id_b, sim_f6 FROM p WHERE sim_f6 >= 400000
+        """,
+        # int8 columnar quantization of embeddings: per-vector max-abs
+        # scale, floor(+0.5) quantize, exact L1 of codes + max dequant error
+        # — all left folds, bit-identical doubles across engines
+        "embedding_quantize": """
+            WITH d AS (
+              SELECT vec_id,
+                     [CAST(e AS DOUBLE) for e in embedding] AS x,
+                     list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    [abs(CAST(e AS DOUBLE)) for e in embedding]),
+                       (a,b) -> greatest(a,b)) AS s
+              FROM embeddings),
+            q AS (
+              SELECT vec_id, x, s,
+                     [CAST(floor(v / s * 127 + 0.5) AS INTEGER) for v in x] AS q
+              FROM d)
+            SELECT vec_id,
+                   CAST(floor(s * 1000000) AS BIGINT) AS scale_f6,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          [CAST(abs(v) AS BIGINT) for v in q]),
+                        (a,b) -> a+b) AS BIGINT) AS q_l1,
+                   CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          [abs(CAST(q[i] AS DOUBLE) * s / 127 - x[i])
+                           for i in range(1, len(x)+1)]),
+                        (a,b) -> greatest(a,b)) * 1000000) AS BIGINT) AS max_err_f6
+            FROM q
         """,
         "ivf_list_sizes": f"""
             WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),

@@ -275,6 +275,54 @@ def orc_export_summary(
     return spark.createDataFrame(rows, PRUNED_SCHEMA)
 
 
+def vocab_top_tokens(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 50,
+    salt_buckets: int = 8,
+    stripe_tokens: int = 2_000_000,
+) -> DataFrame:
+    """Vocabulary histogram THROUGH the warehouse: encode → decode →
+    explode(tokens) → count per token id → top-k (count desc, token asc).
+    The analytics consumer reads the engine's decoded output, so the gate
+    covers engine-as-source, not just engine-as-roundtrip. Plan: explode is
+    narrow over the decode scan; the count is one map-side-combined shuffle
+    onto ≤ vocab (50k) keys; top-k is a single-partition sort of 50k rows."""
+    wh = tempfile.mkdtemp(prefix="orc_spark_wh_")
+    try:
+        df = tokens_from_documents(read_documents(spark, sf_dir))
+        encode_table(
+            spark,
+            df,
+            wh,
+            snapshot="vocab",
+            salt_buckets=salt_buckets,
+            stripe_tokens=stripe_tokens,
+        )
+        decoded = decode_table(spark, wh, snapshot="vocab", columns=["tokens"])
+        from pyspark.sql import Window
+
+        counts = (
+            decoded.select(F.explode("tokens").alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.orderBy(F.desc("n"), F.asc("token"))
+        top = (
+            counts.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select(
+                F.col("token").cast("int").alias("token"),
+                F.col("n").cast("long").alias("n"),
+                F.col("rnk").cast("int").alias("rnk"),
+            )
+        )
+        rows = [(r["token"], r["n"], r["rnk"]) for r in top.collect()]
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(rows, "token int, n long, rnk int")
+
+
 def codec_plan_report(
     spark: SparkSession, sf_dir: str, probe_rows: int = 4096
 ) -> DataFrame:

@@ -287,3 +287,42 @@ def lsh_ann_candidates(
             F.col("b.vec_id").alias("id_b"),
         )
     )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar int8 quantization of the embedding column — the engine's
+    lightweight-compression idea applied to vectors (4x smaller storage for
+    ANN candidate stages). Per-vector max-abs scale; q_i = floor(x_i/s*127
+    + 0.5) in [-127, 127]; reports the scale and the max absolute
+    dequantization error per vector, both as floor(x*1e6) BIGINT.
+
+    All JVM higher-order functions over float->double casts with
+    order-deterministic folds, so the DuckDB oracle reproduces every value
+    bit-exactly: one narrow pass, no shuffle, no UDFs."""
+    emb = _emb(spark, sf_dir)
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    s = F.aggregate(
+        x, F.lit(0.0).cast("double"), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+    d = emb.select("vec_id", x.alias("x"), s.alias("s"))
+    q = F.transform(
+        "x", lambda v: F.floor(v / F.col("s") * 127 + F.lit(0.5)).cast("int")
+    )
+    d = d.select("vec_id", "x", "s", q.alias("q"))
+    err = F.aggregate(
+        F.zip_with(
+            "x",
+            "q",
+            lambda xv, qv: F.abs(qv.cast("double") * F.col("s") / 127 - xv),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    return d.select(
+        "vec_id",
+        F.floor(F.col("s") * 1_000_000).cast("long").alias("scale_f6"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+        ).alias("q_l1"),
+        F.floor(err * 1_000_000).cast("long").alias("max_err_f6"),
+    )
