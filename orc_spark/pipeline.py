@@ -499,9 +499,15 @@ def _multiset_diff_counts(a: DataFrame, b: DataFrame, cols: list[str]) -> dict:
 
 
 def row_digest(cols: list[str]):
-    """The verify row digest: md5 of the row's JSON rendering (JVM-side,
-    narrow, ~16 bytes/row crossing the verify shuffle)."""
-    return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    """The verify row digest: native xxhash64 over the raw columns
+    (arrays hash element-wise in the JVM — no JSON serialization pass).
+    8 bytes/row cross the verify shuffle. 64 bits is sound for CORRUPTION
+    detection in a multiset diff: collisions between two different correct
+    rows cancel on both sides harmlessly; a corrupted row escapes only if
+    its digest equals its own original's — 2^-64 per corrupted row,
+    independent of corpus size (no birthday effect). On a digest mismatch
+    the exact full-row diff re-runs anyway (verify_roundtrip)."""
+    return F.xxhash64(*[F.col(c) for c in cols])
 
 
 def verify_roundtrip(
