@@ -196,16 +196,14 @@ def present_stream(valid) -> bytes:
     return byte_rle(bits.tobytes())
 
 
-def write_batch_file(path: str, batch) -> None:
-    """Write an Arrow RecordBatch (columns: string | int32/int64 |
-    list<int32>; nulls OK except inside list elements) as a complete
-    single-stripe reference-readable ORC file. Columns re-encode from
-    decoded values with liborc's exact stream conventions (signed zigzag
-    RLEv2 int DATA, unsigned LENGTH streams, direct strings, Byte-RLE
-    PRESENT bitmaps), so nothing engine-specific (FSST, zstd wrappers,
-    unsigned int streams) leaks into the container. This is the per-stripe
-    kernel of pipeline.export_orc — the interchange sink that lets any ORC
-    reader consume the warehouse."""
+def _batch_stripe(batch) -> tuple[list[bytes], list[tuple[int, int, bytes]], list]:
+    """Encode one RecordBatch (columns: string | int32/int64 | list<int32>;
+    nulls OK except inside list elements) into ORC stripe parts
+    (types, streams, encodings). Columns re-encode from decoded values with
+    liborc's exact stream conventions (signed zigzag RLEv2 int DATA,
+    unsigned LENGTH streams, direct strings, Byte-RLE PRESENT bitmaps), so
+    nothing engine-specific (FSST, zstd wrappers, unsigned int streams)
+    leaks into the container."""
     import numpy as np
     import pyarrow as pa
 
@@ -256,7 +254,76 @@ def write_batch_file(path: str, batch) -> None:
         else:
             raise TypeError(f"unsupported ORC export type {t} for {name!r}")
     types[0] = _type_struct(subtypes, list(batch.schema.names))
-    _write(path, batch.num_rows, types, streams, encodings)
+    return types, streams, encodings
+
+
+class OrcFileWriter:
+    """Streaming multi-stripe ORC writer: add_stripe() per RecordBatch
+    (stripe bytes go straight to disk — memory stays one stripe), close()
+    writes footer + postscript. One file per logical partition in
+    pipeline.export_orc, many stripes each — the real ORC layout, not a
+    file-per-stripe explosion (at 10^12 rows, one file per 4M-token stripe
+    would be millions of files; per-pid files are O(#partitions))."""
+
+    def __init__(self, path: str):
+        self.fh = open(path, "wb")
+        self.fh.write(MAGIC)
+        self.pos = len(MAGIC)
+        self.stripes: list[bytes] = []
+        self.types: list[bytes] | None = None
+        self.n_rows = 0
+
+    def add_stripe(self, batch) -> None:
+        types, streams, encodings = _batch_stripe(batch)
+        if self.types is None:
+            self.types = types
+        body = b"".join(s for _, _, s in streams)
+        sf = bytearray()
+        for col, kind, s in streams:
+            _field(sf, 1, _msg((1, kind), (2, col), (3, len(s))))
+        for enc in encodings:
+            if isinstance(enc, tuple):
+                _field(sf, 2, _msg((1, enc[0]), (2, enc[1])))
+            else:
+                _field(sf, 2, _msg((1, enc)))
+        sf = bytes(sf)
+        self.stripes.append(
+            _msg(
+                (1, self.pos),
+                (2, 0),
+                (3, len(body)),
+                (4, len(sf)),
+                (5, batch.num_rows),
+            )
+        )
+        self.fh.write(body)
+        self.fh.write(sf)
+        self.pos += len(body) + len(sf)
+        self.n_rows += batch.num_rows
+
+    def close(self) -> None:
+        footer = bytearray()
+        _field(footer, 1, len(MAGIC))
+        _field(footer, 2, self.pos)  # contentLength
+        for si in self.stripes:
+            _field(footer, 3, si)
+        for t in self.types or [_type_struct([], [])]:
+            _field(footer, 4, t)
+        _field(footer, 6, self.n_rows)
+        _field(footer, 8, 0)
+        footer = bytes(footer)
+        ps = _postscript(len(footer))
+        self.fh.write(footer)
+        self.fh.write(ps)
+        self.fh.write(bytes([len(ps)]))
+        self.fh.close()
+
+
+def write_batch_file(path: str, batch) -> None:
+    """Single-stripe convenience wrapper over OrcFileWriter."""
+    w = OrcFileWriter(path)
+    w.add_stripe(batch)
+    w.close()
 
 
 def _write(path, n_rows, types, streams, encodings):
@@ -288,8 +355,19 @@ def _write(path, n_rows, types, streams, encodings):
     _field(footer, 8, 0)  # rowIndexStride: no indexes
     footer = bytes(footer)
 
+    ps = _postscript(len(footer))
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        fh.write(body)
+        fh.write(sf)
+        fh.write(footer)
+        fh.write(ps)
+        fh.write(bytes([len(ps)]))
+
+
+def _postscript(footer_len: int) -> bytes:
     ps = bytearray()
-    _field(ps, 1, len(footer))
+    _field(ps, 1, footer_len)
     _field(ps, 2, 0)  # CompressionKind NONE
     _field(ps, 3, 0x10000)
     _uv(ps, (4 << 3) | 0)  # version [0, 12]
@@ -299,13 +377,5 @@ def _write(path, n_rows, types, streams, encodings):
     _field(ps, 5, 0)  # metadataLength (no metadata section)
     _field(ps, 6, 1)  # writerVersion
     _field(ps, 8000, b"ORC")  # magic
-    ps = bytes(ps)
     assert len(ps) < 256
-
-    with open(path, "wb") as fh:
-        fh.write(MAGIC)
-        fh.write(body)
-        fh.write(sf)
-        fh.write(footer)
-        fh.write(ps)
-        fh.write(bytes([len(ps)]))
+    return bytes(ps)

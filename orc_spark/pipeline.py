@@ -426,7 +426,7 @@ def decode_table(
     return sdf.mapInArrow(decode_partition, out_schema)
 
 
-EXPORT_META_SCHEMA = "pid string, stripe_id long, file string, n_rows long, orc_bytes long"
+EXPORT_META_SCHEMA = "pid string, stripes long, file string, n_rows long, orc_bytes long"
 
 
 def export_orc(
@@ -435,11 +435,13 @@ def export_orc(
     out_dir: str,
     snapshot: str | None = None,
 ) -> DataFrame:
-    """Interchange sink: write every committed stripe as a standalone
-    reference-readable ORC file (orcexport.write_batch_file — liborc stream
-    conventions, conformance-tested). One output file per stripe, written
-    executor-side with tmp + atomic rename (idempotent under retry, same
-    model as the encode sink); only O(#stripes) metadata rows return to the
+    """Interchange sink: write the committed warehouse as reference-readable
+    ORC files (orcexport.OrcFileWriter — liborc stream conventions,
+    conformance-tested). One MULTI-STRIPE file per logical partition — the
+    real ORC layout, O(#partitions) files rather than a file-per-stripe
+    explosion — streamed executor-side stripe by stripe (memory stays one
+    stripe) with tmp + atomic rename (idempotent under retry, same model as
+    the encode sink); only O(#partitions) metadata rows return to the
     driver. A user of the reference ORC stack can consume the warehouse
     with any ORC reader after this — no engine code needed."""
     wh = Warehouse(warehouse_path)
@@ -450,29 +452,47 @@ def export_orc(
     os.makedirs(out_dir, exist_ok=True)
 
     def export_partition(batches):
-        from .orcexport import write_batch_file
+        from pyspark import TaskContext
 
+        from .orcexport import OrcFileWriter
+
+        # a pid's stripe rows can split across tasks at parquet row-group
+        # boundaries, so the output name is (pid, taskPartition)-scoped:
+        # no cross-task rename races, still O(#partitions) files, and a
+        # retried task regenerates the identical name (idempotent)
+        task_part = TaskContext.get().partitionId()
+        writers: dict[str, tuple[OrcFileWriter, str, str]] = {}
         metas = []
+
+        def finish(pid: str) -> None:
+            w, tmp, final = writers.pop(pid)
+            n_rows, n_stripes = w.n_rows, len(w.stripes)
+            w.close()
+            os.replace(tmp, final)
+            metas.append(
+                {
+                    "pid": pid,
+                    "stripes": n_stripes,
+                    "file": final,
+                    "n_rows": n_rows,
+                    "orc_bytes": os.path.getsize(final),
+                }
+            )
+
         for batch in batches:
             for i in range(batch.num_rows):
                 pid = str(batch.column("pid")[i])
-                sid = int(batch.column("stripe_id")[i].as_py())
                 footer = footer_from_json(str(batch.column("footer")[i]))
                 rb = decode_stripe(batch.column("blob")[i].as_buffer(), footer)
-                safe_pid = pid.replace("/", "_")
-                final = os.path.join(out_dir, f"{safe_pid}-{sid}.orc")
-                tmp = final + f".inprogress-{uuid.uuid4().hex[:8]}"
-                write_batch_file(tmp, rb)
-                os.replace(tmp, final)
-                metas.append(
-                    {
-                        "pid": pid,
-                        "stripe_id": sid,
-                        "file": final,
-                        "n_rows": rb.num_rows,
-                        "orc_bytes": os.path.getsize(final),
-                    }
-                )
+                if pid not in writers:
+                    final = os.path.join(
+                        out_dir, f"{pid.replace('/', '_')}-t{task_part}.orc"
+                    )
+                    tmp = final + f".inprogress-{uuid.uuid4().hex[:8]}"
+                    writers[pid] = (OrcFileWriter(tmp), tmp, final)
+                writers[pid][0].add_stripe(rb)
+        for pid in list(writers):
+            finish(pid)
         if metas:
             yield pa.RecordBatch.from_pylist(metas)
 

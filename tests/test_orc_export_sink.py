@@ -16,17 +16,25 @@ from orc_spark.pipeline import decode_table, encode_table, export_orc
 def exported(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("orcsink")
     wh, out = str(base / "wh"), str(base / "orc")
-    df = spark.createDataFrame(tokens_arrow(2000).to_pandas())
-    encode_table(spark, df, wh, snapshot="s1", salt_buckets=2, stripe_tokens=200_000)
+    df = spark.createDataFrame(tokens_arrow(20_000).to_pandas())
+    # one encode task, ~8k-row Arrow batches: each pid flushes a stripe per
+    # batch -> genuinely multi-stripe pid files
+    encode_table(
+        spark, df, wh, snapshot="s1", salt_buckets=2, stripe_tokens=30_000,
+        num_partitions=1,
+    )
     metas = export_orc(spark, wh, out, snapshot="s1").collect()
     return spark, wh, out, metas
 
 
-def test_export_writes_one_file_per_stripe(exported):
+def test_export_writes_multistripe_files_per_pid(exported):
     spark, wh, out, metas = exported
     files = sorted(glob.glob(out + "/*.orc"))
     assert len(files) == len(metas) > 1
-    assert sum(m["n_rows"] for m in metas) == 2000
+    assert sum(m["n_rows"] for m in metas) == 20_000
+    # multi-stripe layout: file count is O(#pids), not O(#stripes)
+    assert sum(m["stripes"] for m in metas) > len(files)
+    assert any(m["stripes"] > 1 for m in metas)
 
 
 def test_reference_reader_consumes_export(exported):
@@ -50,7 +58,7 @@ def test_reference_reader_consumes_export(exported):
 def test_spark_native_reader_consumes_export(exported):
     spark, wh, out, metas = exported
     sdf = spark.read.orc(out + "/*.orc")
-    assert sdf.count() == 2000
+    assert sdf.count() == 20_000
     got = sdf.agg(F.sum("n_tok").alias("s")).collect()[0]["s"]
     expect = (
         decode_table(spark, wh, snapshot="s1")
