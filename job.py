@@ -41,7 +41,8 @@ def main() -> None:
         "--export-orc",
         metavar="DIR",
         help="after the encode, export the warehouse as standalone "
-        "reference-readable ORC files into DIR (one per stripe)",
+        "reference-readable ORC files into DIR (one multi-stripe file "
+        "per partition)",
     )
     ap.add_argument(
         "--warmup",

@@ -72,7 +72,12 @@ def _match_table(data: np.ndarray, symbols: list[bytes]) -> tuple[np.ndarray, np
             cs = np.array([c for _, c in pairs], dtype=np.int64)
             idx = np.minimum(np.searchsorted(ps, pref), len(ps) - 1)
             m = ps[idx] == pref
-            m[n - L + 1 :] = False  # would run past the end
+            # max(..., 0): when the buffer is shorter than L-1 a bare
+            # n-L+1 slice start would go negative and leave LEADING
+            # positions matchable against zero-padded windows (a NUL-tailed
+            # symbol longer than the remaining data would then corrupt the
+            # round-trip)
+            m[max(n - L + 1, 0) :] = False  # would run past the end
             codes = cs[idx]
         bestlen[m] = L
         bestcode[m] = codes[m]

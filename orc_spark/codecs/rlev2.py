@@ -539,7 +539,15 @@ def _extract_patches(buf8: np.ndarray, sel: list) -> tuple | None:
     u = np.ascontiguousarray(win).view(">u8")[:, 0].astype(np.uint64)
     sh = (64 - cfb[rid] - (bitoff & 7)).astype(np.uint64)
     cfb_e = cfb[rid].astype(np.uint64)
-    entries = (u >> sh) & ((np.uint64(1) << cfb_e) - np.uint64(1))
+    # cfb == 64 is reachable (e.g. pw=56 + pgw=8) and numpy's shift by the
+    # full word width is UNDEFINED — build the mask branch-free without a
+    # 64-bit shift. (sh stays safe: cfb=64 forces bitoff % 8 == 0, sh = 0.)
+    mask = np.where(
+        cfb_e >= 64,
+        np.uint64(0xFFFFFFFFFFFFFFFF),
+        (np.uint64(1) << (cfb_e & np.uint64(63))) - np.uint64(1),
+    )
+    entries = (u >> sh) & mask
     pw_e = pw[rid].astype(np.uint64)
     gaps = (entries >> pw_e).astype(np.int64)
     patches = entries & ((np.uint64(1) << pw_e) - np.uint64(1))

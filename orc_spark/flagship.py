@@ -182,6 +182,46 @@ PRUNED_SCHEMA = (
 )
 
 
+def _with_encoded(spark, sf_dir, snapshot, consume, salt_buckets, stripe_tokens):
+    """Gate-query scaffold: derive tokens → encode into a temp warehouse →
+    run `consume(wh)` → clean up. One place for the lifecycle all the
+    warehouse-backed gate queries share."""
+    wh = tempfile.mkdtemp(prefix="orc_spark_wh_")
+    try:
+        df = tokens_from_documents(read_documents(spark, sf_dir))
+        encode_table(
+            spark,
+            df,
+            wh,
+            snapshot=snapshot,
+            salt_buckets=salt_buckets,
+            stripe_tokens=stripe_tokens,
+        )
+        return consume(wh)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def _checksum_summary(spark, consumer_df) -> DataFrame:
+    """Collect the per-source checksum aggregates of any (doc_id, tokens,
+    n_tok, source)-shaped DataFrame into a PRUNED_SCHEMA result — the shared
+    tail of the pruned/export gate queries (ONE extraction list to keep in
+    sync with the schema)."""
+    agg_rows = summary_aggregates(summary_narrow_pass(consumer_df)).collect()
+    rows = [
+        (
+            r["source"],
+            int(r["n_rows"]),
+            int(r["n_tokens"]),
+            int(r["token_sum"]),
+            int(r["doc_xor"]),
+            int(r["doc_sum"]),
+        )
+        for r in agg_rows
+    ]
+    return spark.createDataFrame(rows, PRUNED_SCHEMA)
+
+
 def pruned_scan_summary(
     spark: SparkSession,
     sf_dir: str,
@@ -198,35 +238,12 @@ def pruned_scan_summary(
     that drops or leaks a single row anywhere flips the value hash.
     Registered twice in the driver contract: `pruned_scan` (int stats path,
     n_tok) and `pruned_scan_ids` (string path: doc_id manifest ranges)."""
-    wh = tempfile.mkdtemp(prefix="orc_spark_wh_")
-    try:
-        df = tokens_from_documents(read_documents(spark, sf_dir))
-        encode_table(
-            spark,
-            df,
-            wh,
-            snapshot="pruned",
-            salt_buckets=salt_buckets,
-            stripe_tokens=stripe_tokens,
-        )
-        decoded = decode_table(
-            spark, wh, snapshot="pruned", predicate=predicate
-        )
-        agg_rows = summary_aggregates(summary_narrow_pass(decoded)).collect()
-        rows = [
-            (
-                r["source"],
-                int(r["n_rows"]),
-                int(r["n_tokens"]),
-                int(r["token_sum"]),
-                int(r["doc_xor"]),
-                int(r["doc_sum"]),
-            )
-            for r in agg_rows
-        ]
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
-    return spark.createDataFrame(rows, PRUNED_SCHEMA)
+
+    def consume(wh):
+        decoded = decode_table(spark, wh, snapshot="pruned", predicate=predicate)
+        return _checksum_summary(spark, decoded)
+
+    return _with_encoded(spark, sf_dir, "pruned", consume, salt_buckets, stripe_tokens)
 
 
 def orc_export_summary(
@@ -243,36 +260,18 @@ def orc_export_summary(
     reference reader is IN the gate loop."""
     from .pipeline import export_orc
 
-    wh = tempfile.mkdtemp(prefix="orc_spark_wh_")
     out = tempfile.mkdtemp(prefix="orc_spark_export_")
-    try:
-        df = tokens_from_documents(read_documents(spark, sf_dir))
-        encode_table(
-            spark,
-            df,
-            wh,
-            snapshot="export",
-            salt_buckets=salt_buckets,
-            stripe_tokens=stripe_tokens,
-        )
+
+    def consume(wh):
         export_orc(spark, wh, out, snapshot="export").collect()
-        back = spark.read.orc(f"{out}/*.orc")
-        agg_rows = summary_aggregates(summary_narrow_pass(back)).collect()
-        rows = [
-            (
-                r["source"],
-                int(r["n_rows"]),
-                int(r["n_tokens"]),
-                int(r["token_sum"]),
-                int(r["doc_xor"]),
-                int(r["doc_sum"]),
-            )
-            for r in agg_rows
-        ]
+        return _checksum_summary(spark, spark.read.orc(f"{out}/*.orc"))
+
+    try:
+        return _with_encoded(
+            spark, sf_dir, "export", consume, salt_buckets, stripe_tokens
+        )
     finally:
-        shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(rows, PRUNED_SCHEMA)
 
 
 def vocab_top_tokens(
@@ -288,17 +287,8 @@ def vocab_top_tokens(
     covers engine-as-source, not just engine-as-roundtrip. Plan: explode is
     narrow over the decode scan; the count is one map-side-combined shuffle
     onto ≤ vocab (50k) keys; top-k is a single-partition sort of 50k rows."""
-    wh = tempfile.mkdtemp(prefix="orc_spark_wh_")
-    try:
-        df = tokens_from_documents(read_documents(spark, sf_dir))
-        encode_table(
-            spark,
-            df,
-            wh,
-            snapshot="vocab",
-            salt_buckets=salt_buckets,
-            stripe_tokens=stripe_tokens,
-        )
+
+    def consume(wh):
         decoded = decode_table(spark, wh, snapshot="vocab", columns=["tokens"])
         from pyspark.sql import Window
 
@@ -318,9 +308,9 @@ def vocab_top_tokens(
             )
         )
         rows = [(r["token"], r["n"], r["rnk"]) for r in top.collect()]
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
-    return spark.createDataFrame(rows, "token int, n long, rnk int")
+        return spark.createDataFrame(rows, "token int, n long, rnk int")
+
+    return _with_encoded(spark, sf_dir, "vocab", consume, salt_buckets, stripe_tokens)
 
 
 def codec_plan_report(

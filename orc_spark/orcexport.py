@@ -275,6 +275,11 @@ class OrcFileWriter:
 
     def add_stripe(self, batch) -> None:
         types, streams, encodings = _batch_stripe(batch)
+        self.add_raw_stripe(batch.num_rows, types, streams, encodings)
+
+    def add_raw_stripe(self, n_rows, types, streams, encodings) -> None:
+        """Append one stripe from pre-encoded raw streams (also the single
+        serialization path for the write_*_file conformance helpers)."""
         if self.types is None:
             self.types = types
         body = b"".join(s for _, _, s in streams)
@@ -293,13 +298,13 @@ class OrcFileWriter:
                 (2, 0),
                 (3, len(body)),
                 (4, len(sf)),
-                (5, batch.num_rows),
+                (5, n_rows),
             )
         )
         self.fh.write(body)
         self.fh.write(sf)
         self.pos += len(body) + len(sf)
-        self.n_rows += batch.num_rows
+        self.n_rows += n_rows
 
     def close(self) -> None:
         footer = bytearray()
@@ -327,42 +332,11 @@ def write_batch_file(path: str, batch) -> None:
 
 
 def _write(path, n_rows, types, streams, encodings):
-    body = b"".join(s for _, _, s in streams)
-    sf = bytearray()
-    for col, kind, s in streams:
-        _field(sf, 1, _msg((1, kind), (2, col), (3, len(s))))
-    for enc in encodings:
-        if isinstance(enc, tuple):
-            _field(sf, 2, _msg((1, enc[0]), (2, enc[1])))
-        else:
-            _field(sf, 2, _msg((1, enc)))
-    sf = bytes(sf)
-
-    stripe_info = _msg(
-        (1, len(MAGIC)),  # offset
-        (2, 0),  # indexLength
-        (3, len(body)),  # dataLength
-        (4, len(sf)),  # footerLength
-        (5, n_rows),
-    )
-    footer = bytearray()
-    _field(footer, 1, len(MAGIC))  # headerLength
-    _field(footer, 2, len(MAGIC) + len(body) + len(sf))  # contentLength
-    _field(footer, 3, stripe_info)
-    for t in types:
-        _field(footer, 4, t)
-    _field(footer, 6, n_rows)
-    _field(footer, 8, 0)  # rowIndexStride: no indexes
-    footer = bytes(footer)
-
-    ps = _postscript(len(footer))
-    with open(path, "wb") as fh:
-        fh.write(MAGIC)
-        fh.write(body)
-        fh.write(sf)
-        fh.write(footer)
-        fh.write(ps)
-        fh.write(bytes([len(ps)]))
+    """Single-stripe file from raw streams — delegates to OrcFileWriter so
+    there is exactly one serializer for the container format."""
+    w = OrcFileWriter(path)
+    w.add_raw_stripe(n_rows, types, streams, encodings)
+    w.close()
 
 
 def _postscript(footer_len: int) -> bytes:

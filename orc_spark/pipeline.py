@@ -519,15 +519,22 @@ def _multiset_diff_counts(a: DataFrame, b: DataFrame, cols: list[str]) -> dict:
 
 
 def row_digest(cols: list[str]):
-    """The verify row digest: native xxhash64 over the raw columns
-    (arrays hash element-wise in the JVM — no JSON serialization pass).
-    8 bytes/row cross the verify shuffle. 64 bits is sound for CORRUPTION
-    detection in a multiset diff: collisions between two different correct
-    rows cancel on both sides harmlessly; a corrupted row escapes only if
-    its digest equals its own original's — 2^-64 per corrupted row,
-    independent of corpus size (no birthday effect). On a digest mismatch
-    the exact full-row diff re-runs anyway (verify_roundtrip)."""
-    return F.xxhash64(*[F.col(c) for c in cols])
+    """The verify row digest: xxhash64 over the row's JSON rendering.
+    8 bytes/row cross the verify shuffle.
+
+    The JSON pass is NOT optional: hashing raw columns directly makes
+    nulls identity elements in xxhash64's fold, so whole collision CLASSES
+    appear — ('a', NULL) == ('a', array()), [1, NULL] == [1],
+    ('x', NULL) == (NULL, 'x') — exactly the shapes a PRESENT-stream
+    decode bug would produce, silently passing the gate. JSON
+    canonicalizes structure first, so only random 64-bit collisions
+    remain, and those are sound for CORRUPTION detection in a multiset
+    diff: collisions between two different correct rows cancel on both
+    sides harmlessly; a corrupted row escapes only if its digest equals
+    its own original's — 2^-64 per corrupted row, independent of corpus
+    size (no birthday effect). On a digest mismatch the exact full-row
+    diff re-runs anyway (verify_roundtrip)."""
+    return F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
 
 
 def verify_roundtrip(

@@ -346,6 +346,7 @@ def dedup_clusters(
         .unionAll(cand.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
     ).persist()
     labels = docs.select("node", F.col("node").alias("lab")).persist()
+    converged = False
     try:
         for _ in range(max_iters):
             prop = edges.join(
@@ -367,7 +368,17 @@ def dedup_clusters(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # returning partially-propagated labels would silently split
+            # true components (multiple keepers per cluster) — fail loudly;
+            # components deeper than max_iters need a higher cap or the
+            # large-star/small-star variant
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_iters} rounds "
+                "(component diameter exceeds max_iters)"
+            )
     finally:
         edges.unpersist()
     # the final labels stay persisted (truncating the N-iteration lineage);

@@ -50,3 +50,13 @@ def test_compress_with_empty_table():
 def test_property_roundtrip(data):
     table = fsst.train(data[:512])
     assert fsst.decompress(fsst.compress(data, table)) == data
+
+
+def test_compress_buffer_shorter_than_symbol():
+    """A reused table may hold a NUL-tailed symbol LONGER than a later
+    chunk; zero-padded windows must not match past the end (regression:
+    the tail-clear slice start went negative for n < L-1)."""
+    table = [b"abcde\x00\x00\x00"]
+    assert fsst.decompress(fsst.compress(b"abcde", table)) == b"abcde"
+    assert fsst.decompress(fsst.compress(b"ab", table)) == b"ab"
+    assert fsst.decompress(fsst.compress(b"", table)) == b""

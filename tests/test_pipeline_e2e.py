@@ -156,3 +156,21 @@ def test_multi_writer_encoder_interleaved_pids(tmp_path, monkeypatch):
                 got[r["doc_id"]] = (r["tokens"], r["source"])
     expect = {d: (t_, s) for d, t_, s in rows}
     assert got == expect
+
+
+def test_row_digest_distinguishes_null_shapes(spark):
+    """The verify digest must distinguish the collision classes raw
+    xxhash64 folds collapse (nulls are identity elements there): NULL vs
+    empty array, dropped null elements, and column swaps — exactly the
+    shapes a PRESENT-stream decode bug would produce (regression r3)."""
+    from orc_spark.pipeline import row_digest
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", []), ("a", [1, None]), ("a", [1])],
+        "s string, arr array<int>",
+    )
+    digests = [r[0] for r in df.select(row_digest(["s", "arr"])).collect()]
+    assert len(set(digests)) == 4
+    df2 = spark.createDataFrame([("x", None), (None, "x")], "a string, b string")
+    d2 = [r[0] for r in df2.select(row_digest(["a", "b"])).collect()]
+    assert d2[0] != d2[1]

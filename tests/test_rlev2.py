@@ -110,3 +110,16 @@ def test_property_runs(n, v, runlen):
     a = np.concatenate(segs)[:n].astype(np.int64) if segs else np.array([], dtype=np.int64)
     roundtrip(a, True)
     roundtrip(a, False)
+
+
+def test_patched_base_cfb64_roundtrip():
+    """pw=56 + pgw=8 packs patch entries into FULL 64-bit fields (cfb=64);
+    the vectorized patch extraction must not rely on numpy's undefined
+    shift-by-64 for the entry mask (regression: review r3)."""
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 16, 4096, dtype=np.int64)
+    v[np.arange(0, 4096, 300)] += 1 << 58
+    enc = encode_rlev2(v, signed=False)
+    assert np.array_equal(decode_rlev2(enc, len(v), signed=False), v)
+    enc_s = encode_rlev2(v, signed=True)
+    assert np.array_equal(decode_rlev2(enc_s, len(v), signed=True), v)

@@ -138,3 +138,23 @@ def test_dedup_clusters_merge_planted_near_dups(spark, tmp_path):
     # every candidate edge ended up intra-cluster
     for r in textops.minhash_candidates(spark, d).collect():
         assert labels[str(r["id_a"])][0] == labels[str(r["id_b"])][0]
+
+
+def test_dedup_clusters_raises_when_not_converged(spark, tmp_path):
+    """Partially-propagated labels must never be returned silently: any
+    edge needs >=2 rounds (propagate + confirm), so max_iters=1 on a graph
+    with a planted near-dup edge must raise (regression r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from orc_spark import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(6).collect()
+    rows = {c: [r[c] for r in docs] for c in docs[0].asDict()}
+    rows["text"][1] = rows["text"][0] + " extra"
+    d = str(tmp_path / "noconv")
+    os.makedirs(d)
+    pq.write_table(pa.table(rows), f"{d}/documents.parquet")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        textops.dedup_clusters(spark, d, max_iters=1)
