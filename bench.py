@@ -48,6 +48,9 @@ def main() -> None:
 
     sf = _sf()
     n_docs = max(int(DOCS_PER_SF * sf), 200)
+    # this run ends in a full decode bit-equality verify, so the redundant
+    # shuffle-checksum CPU pass is safely skipped (session.py)
+    os.environ.setdefault("ORC_SPARK_SHUFFLE_CHECKSUM", "false")
     spark = get_spark(cpus=CPUS, app_name="orc_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 

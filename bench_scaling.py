@@ -52,7 +52,12 @@ def _ensure_input(docs: int, base: str) -> tuple[str, int]:
 
 def _run(inp: str, wh: str, cpus: int, retries: int = 1, pin: bool = False) -> dict:
     shutil.rmtree(wh, ignore_errors=True)
-    env = {**os.environ, "SPARK_DRIVER_MEM": "16g"}
+    # benchmark harness: measure the verified-pipeline configuration
+    # (bench.py's headline runs with shuffle checksums off because its
+    # decode bit-equality verify subsumes them; the scaling ratio must be
+    # taken on the same config)
+    env = {**os.environ, "SPARK_DRIVER_MEM": "16g",
+           "ORC_SPARK_SHUFFLE_CHECKSUM": "false"}
     cmd = [sys.executable, os.path.join(REPO, "job.py"), "--input", inp,
            "--warehouse", wh, "--cpus", str(cpus), "--warmup",
            # one encode task per core: the task's JVM-feed and Python-codec

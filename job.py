@@ -57,6 +57,10 @@ def main() -> None:
     from orc_spark.pipeline import decode_table, encode_table, verify_roundtrip
     from orc_spark.session import get_spark
 
+    if args.verify:
+        # the run ends in a decode bit-equality verify, which subsumes the
+        # shuffle-checksum pass (session.py keeps checksums on otherwise)
+        os.environ.setdefault("ORC_SPARK_SHUFFLE_CHECKSUM", "false")
     spark = get_spark(cpus=args.cpus, app_name="orc_spark_encode")
     spark.sparkContext.setLogLevel("ERROR")
 

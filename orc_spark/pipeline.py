@@ -479,20 +479,31 @@ def export_orc(
                 }
             )
 
-        for batch in batches:
-            for i in range(batch.num_rows):
-                pid = str(batch.column("pid")[i])
-                footer = footer_from_json(str(batch.column("footer")[i]))
-                rb = decode_stripe(batch.column("blob")[i].as_buffer(), footer)
-                if pid not in writers:
-                    final = os.path.join(
-                        out_dir, f"{pid.replace('/', '_')}-t{task_part}.orc"
-                    )
-                    tmp = final + f".inprogress-{uuid.uuid4().hex[:8]}"
-                    writers[pid] = (OrcFileWriter(tmp), tmp, final)
-                writers[pid][0].add_stripe(rb)
-        for pid in list(writers):
-            finish(pid)
+        try:
+            for batch in batches:
+                for i in range(batch.num_rows):
+                    pid = str(batch.column("pid")[i])
+                    footer = footer_from_json(str(batch.column("footer")[i]))
+                    rb = decode_stripe(batch.column("blob")[i].as_buffer(), footer)
+                    if pid not in writers:
+                        final = os.path.join(
+                            out_dir, f"{pid.replace('/', '_')}-t{task_part}.orc"
+                        )
+                        tmp = final + f".inprogress-{uuid.uuid4().hex[:8]}"
+                        writers[pid] = (OrcFileWriter(tmp), tmp, final)
+                    writers[pid][0].add_stripe(rb)
+            for pid in list(writers):
+                finish(pid)
+        finally:
+            # a failed/retried task must not orphan its uuid-named temp
+            # files (each attempt uses a fresh uuid, so nothing else would
+            # ever clean them up) — drop any writer that did not finish
+            for w, tmp, _ in writers.values():
+                try:
+                    w.fh.close()
+                finally:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
         if metas:
             yield pa.RecordBatch.from_pylist(metas)
 
@@ -544,10 +555,10 @@ def verify_roundtrip(
 ) -> dict:
     """Bit-equality gate (BASELINE.json:15): per-row token-array equality.
 
-    Hash-first: each side is reduced to a 128-bit md5 row digest (md5 of the
-    row's JSON rendering — JVM-side, narrow) BEFORE the multiset-diff
-    shuffle, so the verify exchange moves ~16 bytes/row instead of the full
-    token payload (~50× less shuffle at typical document lengths; at 100 TB
+    Hash-first: each side is reduced to an 8-byte xxhash64 row digest
+    (row_digest above — JVM-side, narrow) BEFORE the multiset-diff
+    shuffle, so the verify exchange moves 8 bytes/row instead of the full
+    token payload (~100× less shuffle at typical document lengths; at 100 TB
     the verify shuffle would otherwise be 2× corpus bytes). On a digest
     mismatch the exact full-row multiset diff re-runs as the drilldown so
     reported missing/extra counts stay exact row counts, not digest counts.

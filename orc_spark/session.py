@@ -58,11 +58,20 @@ def get_spark(
         # pinned 4 cores (3 alternated pairs, 322M tokens): +3.5% encode
         # throughput, neutral at 1 core. Components: GC threads capped (the
         # default scales with cores and steals codec-worker time), shuffle
-        # checksum off (a redundant CPU pass here — the pipeline's own
-        # decode bit-equality verify covers end-to-end integrity; re-enable
-        # if running without verify), bigger shuffle buffers (fewer
+        # checksum optionally off (see below), bigger shuffle buffers (fewer
         # flush/fetch round trips for the ~GB-scale token shuffle).
-        .config("spark.shuffle.checksum.enabled", "false")
+        #
+        # Shuffle checksums stay ON by default: they are the only
+        # shuffle-corruption detection a plain encode run has. Callers that
+        # run the pipeline's own decode bit-equality verify (job.py
+        # --verify, bench.py, bench_scaling.py) set
+        # ORC_SPARK_SHUFFLE_CHECKSUM=false — there the checksum pass is a
+        # redundant CPU cost, because verify catches any corruption
+        # end-to-end (and with exact row counts, not just a fetch failure).
+        .config(
+            "spark.shuffle.checksum.enabled",
+            os.environ.get("ORC_SPARK_SHUFFLE_CHECKSUM", "true"),
+        )
         .config("spark.shuffle.file.buffer", "1m")
         .config("spark.reducer.maxSizeInFlight", "96m")
         .config(
