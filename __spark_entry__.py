@@ -141,7 +141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": textops.fingerprints,
         # dedup family
         "dedup_exact": textops.dedup_exact,
-        "jaccard_pairs": textops.jaccard_pairs,
+        # the all-pairs guard is opted out explicitly: this registration IS
+        # the documented small-scale oracle (sf fixtures are tiny)
+        "jaccard_pairs": lambda spark, sf_dir: textops.jaccard_pairs(
+            spark, sf_dir, allow_quadratic=True
+        ),
         "minhash_signatures": textops.minhash_signatures,
         "minhash_candidates": textops.minhash_candidates,
         "dedup_clusters": textops.dedup_clusters,
@@ -155,7 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": similarity.lsh_buckets,
         "lsh_ann_candidates": similarity.lsh_ann_candidates,
         "embed_dup_pairs": lambda spark, sf_dir: similarity.embedding_dup_pairs(
-            spark, sf_dir, min_sim_f6=400_000
+            spark, sf_dir, min_sim_f6=400_000, allow_quadratic=True
         ),
         "lsh_refined_pairs": lambda spark, sf_dir: similarity.lsh_refined_pairs(
             spark, sf_dir, min_sim_f6=200_000

@@ -182,7 +182,11 @@ def ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_dup_pairs(
-    spark: SparkSession, sf_dir: str, min_sim_f6: int = 990_000
+    spark: SparkSession,
+    sf_dir: str,
+    min_sim_f6: int = 990_000,
+    max_rows: int = 100_000,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with cosine
     similarity >= threshold. Exact all-pairs — the small-scale oracle; the
@@ -194,8 +198,22 @@ def embedding_dup_pairs(
     sf0.1), so the correctness-gate registration passes a calibrated
     0.40 explicitly — that selects the top ~59 pairs at sf0.01 / ~920 at
     sf0.1 and keeps the gate comparing real rows — without silently
-    loosening what "near-duplicate" means for an API caller."""
+    loosening what "near-duplicate" means for an API caller.
+
+    Guarded: O(n²) work refuses inputs past `max_rows` unless the caller
+    passes `allow_quadratic=True` — nothing stops this query being pointed
+    at a big table otherwise, and the failure mode (a 10^18-pair θ-join)
+    would take down a cluster, not just a laptop."""
     emb = _emb(spark, sf_dir)
+    if not allow_quadratic:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_dup_pairs is an exact all-pairs O(n²) oracle; "
+                f"input has {n} vectors > max_rows={max_rows}. Use "
+                f"lsh_refined_pairs (bucketed, scale-safe) or pass "
+                f"allow_quadratic=True if the quadratic cost is intended."
+            )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (

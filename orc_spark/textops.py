@@ -208,11 +208,29 @@ def shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(
-    spark: SparkSession, sf_dir: str, min_inter: int = 2, min_jaccard: float = 0.03
+    spark: SparkSession,
+    sf_dir: str,
+    min_inter: int = 2,
+    min_jaccard: float = 0.03,
+    max_docs: int = 100_000,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shingle self-join. CORRECT but
     quadratic in bucket size — the small-scale oracle; at 10^9 docs use
-    minhash_candidates instead. Shuffles: shingle join + pair groupBy."""
+    minhash_candidates instead. Shuffles: shingle join + pair groupBy.
+
+    Guarded: refuses inputs past `max_docs` unless `allow_quadratic=True`
+    (common shingles make the self-join blow up quadratically per bucket;
+    the scale path is minhash_candidates → dedup_clusters)."""
+    if not allow_quadratic:
+        n = _docs(spark, sf_dir).count()
+        if n > max_docs:
+            raise ValueError(
+                f"jaccard_pairs self-joins the shingle table (quadratic per "
+                f"shingle bucket); input has {n} docs > max_docs={max_docs}. "
+                f"Use minhash_candidates (banded LSH, scale-safe) or pass "
+                f"allow_quadratic=True if the quadratic cost is intended."
+            )
     # the exploded shingle table is corpus × words — persist it for the two
     # consumers (sizes + self-join) on DISK, not executor storage memory:
     # this query is the documented small-scale oracle, but a memory cache of

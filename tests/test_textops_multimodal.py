@@ -158,3 +158,24 @@ def test_dedup_clusters_raises_when_not_converged(spark, tmp_path):
     pq.write_table(pa.table(rows), f"{d}/documents.parquet")
     with _pytest.raises(RuntimeError, match="did not converge"):
         textops.dedup_clusters(spark, d, max_iters=1)
+
+
+def test_all_pairs_guards_refuse_big_inputs(spark):
+    """The two documented quadratic oracles must refuse large inputs and
+    point at their scale-safe twins unless allow_quadratic=True is passed
+    explicitly (the correctness-gate registrations do pass it)."""
+    import pytest as _pytest
+
+    from orc_spark import similarity, textops
+
+    with _pytest.raises(ValueError, match="lsh_refined_pairs"):
+        similarity.embedding_dup_pairs(spark, SF_DIR, max_rows=10)
+    with _pytest.raises(ValueError, match="minhash_candidates"):
+        textops.jaccard_pairs(spark, SF_DIR, max_docs=10)
+    # opting in bypasses the guard regardless of size
+    assert (
+        similarity.embedding_dup_pairs(
+            spark, SF_DIR, min_sim_f6=400_000, max_rows=10, allow_quadratic=True
+        ).count()
+        > 0
+    )
