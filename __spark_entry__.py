@@ -92,6 +92,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # starting with 1 or 2) — exercises the manifest min/max file filter
         return pruned_scan_summary(spark, sf_dir, predicate=("doc_id", "1", "2~"))
 
+    def _pruned_multi(spark, sf_dir):
+        _ship(spark)
+        # composite search argument: source IN-set (partition-key file
+        # pruning — 3 of 20 sources survive, so 85% of files are never
+        # opened; require_file_pruning asserts that) AND n_tok between
+        # (stripe-stats + exact row filter)
+        return pruned_scan_summary(
+            spark,
+            sf_dir,
+            predicate=[("source", ("src3", "src7", "src12")), ("n_tok", 30, 70)],
+            require_file_pruning=True,
+        )
+
     def _export(spark, sf_dir):
         _ship(spark)
         return orc_export_summary(spark, sf_dir)
@@ -126,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transparent
         "pruned_scan": _pruned,
         "pruned_scan_ids": _pruned_ids,
+        "pruned_scan_multi": _pruned_multi,
         # interchange sink: encode -> export as standalone ORC files -> read
         # back with SPARK'S OWN ORC READER (orc-core) -> aggregates; the
         # reference reader sits inside the gate loop
@@ -321,6 +335,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(n AS BIGINT) AS n,
                    CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INTEGER) AS rnk
             FROM c QUALIFY rnk <= 50
+        """,
+        # composite search argument: conjunction of a source IN-set and an
+        # n_tok between — what the file-prune x stripe-prune x row-filter
+        # pipeline must be exactly transparent to
+        "pruned_scan_multi": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor(h) AS BIGINT) AS doc_xor,
+                   CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
+            FROM t
+            WHERE source IN ('src3', 'src7', 'src12')
+              AND len(toks) BETWEEN 30 AND 70
+            GROUP BY source
         """,
         # string-predicate twin: lexicographic doc_id BETWEEN (byte-wise in
         # both engines for these ASCII ids)

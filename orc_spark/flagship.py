@@ -225,23 +225,37 @@ def _checksum_summary(spark, consumer_df) -> DataFrame:
 def pruned_scan_summary(
     spark: SparkSession,
     sf_dir: str,
-    predicate: tuple = ("n_tok", 30, 70),
+    predicate: tuple | list = ("n_tok", 30, 70),
     salt_buckets: int = 8,
     stripe_tokens: int = 2_000_000,
+    require_file_pruning: bool = False,
 ) -> DataFrame:
     """Predicate-pushdown gate: encode the derived tokens table, decode it
-    back with a pushed between-predicate (file-level manifest prune +
-    stripe-level footer-stats prune + exact row filter —
-    pipeline.decode_table), and aggregate the SURVIVING rows per source with
-    the same O(1)-state checksum lanes as the round-trip gate. The DuckDB
-    oracle filters the re-derived tokens table directly, so a pruning bug
-    that drops or leaks a single row anywhere flips the value hash.
-    Registered twice in the driver contract: `pruned_scan` (int stats path,
-    n_tok) and `pruned_scan_ids` (string path: doc_id manifest ranges)."""
+    back with a pushed predicate (file-level manifest prune + stripe-level
+    footer-stats prune + exact row filter — pipeline.decode_table), and
+    aggregate the SURVIVING rows per source with the same O(1)-state
+    checksum lanes as the round-trip gate. The DuckDB oracle filters the
+    re-derived tokens table directly, so a pruning bug that drops or leaks
+    a single row anywhere flips the value hash. Registered three times in
+    the driver contract: `pruned_scan` (int stats path, n_tok),
+    `pruned_scan_ids` (string path: doc_id manifest ranges), and
+    `pruned_scan_multi` (conjunction: source IN-set × n_tok between — the
+    composite search-argument path, with `require_file_pruning` asserting
+    the manifest prune actually removed files, so the gate can't silently
+    pass by decoding everything)."""
 
     def consume(wh):
-        decoded = decode_table(spark, wh, snapshot="pruned", predicate=predicate)
-        return _checksum_summary(spark, decoded)
+        metrics: dict = {}
+        decoded = decode_table(
+            spark, wh, snapshot="pruned", predicate=predicate,
+            prune_metrics=metrics,
+        )
+        out = _checksum_summary(spark, decoded)
+        if require_file_pruning and not metrics.get("files_pruned"):
+            raise AssertionError(
+                f"file-level pruning did not fire: {metrics}"
+            )
+        return out
 
     return _with_encoded(spark, sf_dir, "pruned", consume, salt_buckets, stripe_tokens)
 

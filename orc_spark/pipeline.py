@@ -330,18 +330,92 @@ def _spark_type_str(t: str) -> str:
     return t
 
 
+def normalize_predicates(predicate) -> list[tuple]:
+    """Accepted predicate forms (conjunction semantics, ORC search-argument
+    style):
+      ("col", lo, hi)          — BETWEEN lo AND hi (inclusive)
+      ("col", values)          — IN set (values: list/tuple/set)
+      [pred, pred, ...]        — AND of the above
+    Normalized to [("between", col, lo, hi) | ("in", col, sorted_values)]."""
+    if predicate is None:
+        return []
+    preds = predicate if isinstance(predicate, list) else [predicate]
+    out = []
+    for p in preds:
+        if len(p) == 3:
+            out.append(("between", p[0], p[1], p[2]))
+        elif len(p) == 2 and isinstance(p[1], (list, tuple, set, frozenset)):
+            if not p[1]:
+                raise ValueError(f"empty IN-set predicate on {p[0]!r}")
+            out.append(("in", p[0], sorted(set(p[1]))))
+        else:
+            raise ValueError(
+                f"predicate {p!r} is neither (col, lo, hi) nor (col, values)"
+            )
+    return out
+
+
+def _pred_matches_range(pred: tuple, mn, mx) -> bool:
+    """Can any value in [mn, mx] satisfy the predicate? (The shared
+    file-level and stripe-level pruning test — conservative by
+    construction: stats only ever EXCLUDE.)"""
+    if pred[0] == "between":
+        return not (mx < pred[2] or mn > pred[3])
+    return any(mn <= v <= mx for v in pred[2])
+
+
+def file_matches(pid: str, part: dict, preds: list[tuple]) -> bool:
+    """FILE-level pruning over driver-side manifest metadata (the Iceberg
+    manifest-pruning analog): doc_id predicates test the partition's
+    [min_doc_id, max_doc_id] range (stripes are doc_id-sorted, so it is
+    tight); source predicates test the pid's source prefix — pid is
+    source + '#' + bucket[@sub] (with_pid / rebalance_by_tokens), and
+    neither suffix contains '#', so rsplit recovers the source exactly.
+    Source pruning is PARTITION-KEY pruning: an equality/IN predicate on
+    source skips every non-matching file without opening it."""
+    src = pid.rsplit("#", 1)[0]
+    for p in preds:
+        col = p[1]
+        if col == "doc_id":
+            if not _pred_matches_range(p, part["min_doc_id"], part["max_doc_id"]):
+                return False
+        elif col == "source":
+            if not _pred_matches_range(p, src, src):
+                return False
+    return True
+
+
 def stripe_matches(footer: dict, col: str, lo, hi) -> bool:
     """Stripe-level predicate-pushdown test (ORC stripe-stats PPD): can any
     row of this stripe satisfy lo <= col <= hi? Conservative: stripes whose
     footer carries no min/max for `col` (strings, lists) always match."""
-    meta = footer["columns"].get(col)
+    return stripe_matches_pred(footer, ("between", col, lo, hi))
+
+
+def stripe_matches_pred(footer: dict, pred: tuple) -> bool:
+    """stripe_matches generalized to a normalized predicate (between/in)."""
+    meta = footer["columns"].get(pred[1])
     if meta is None:
         return True
     st = meta.get("stats") or {}
     mn, mx = st.get("min"), st.get("max")
     if mn is None or mx is None:
         return True
-    return not (mx < lo or mn > hi)
+    return _pred_matches_range(pred, mn, mx)
+
+
+def _row_mask(rb: pa.RecordBatch, preds: list[tuple]):
+    """Exact row-level filter mask: AND of all conjuncts (arrow compute,
+    no Python per row)."""
+    mask = None
+    for p in preds:
+        c = rb.column(p[1])
+        if p[0] == "between":
+            m = pc.and_(pc.greater_equal(c, p[2]), pc.less_equal(c, p[3]))
+        else:
+            m = pc.is_in(c, value_set=pa.array(p[2], type=c.type))
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask
 
 
 def decode_table(
@@ -349,55 +423,78 @@ def decode_table(
     warehouse_path: str,
     snapshot: str | None = None,
     columns: list[str] | None = None,
-    predicate: tuple | None = None,
+    predicate: tuple | list | None = None,
+    prune_metrics: dict | None = None,
 ) -> DataFrame:
     """Read committed stripes back into the original rows. Column projection
     prunes at the stream level (untouched columns are never decompressed).
 
-    `predicate=(col, lo, hi)` pushes a between-filter down three levels,
-    mirroring ORC's search-argument model on the Iceberg-style layout:
-      1. FILE level — for doc_id predicates, partitions whose manifest
-         [min_doc_id, max_doc_id] range is disjoint are never opened
-         (O(#partitions) driver-side metadata, like Iceberg manifest
-         pruning; stripes are doc_id-sorted so the file range is tight).
-      2. STRIPE level — stripes whose footer stats for an int column are
-         disjoint from [lo, hi] are skipped before any stream of the blob
-         is decompressed (stripe_matches above).
-      3. ROW level — surviving stripes are filtered exactly, so the result
-         equals an unpruned decode + filter (pruning is transparent; the
-         pruned_scan gate query certifies this against the SQL oracle).
+    `predicate` pushes a CONJUNCTION of filters down three levels, mirroring
+    ORC's search-argument model on the Iceberg-style layout. Forms (see
+    normalize_predicates): a single (col, lo, hi) between, a single
+    (col, values) IN-set, or a list of either — ANDed together.
+      1. FILE level — driver-side manifest metadata only (like Iceberg
+         manifest pruning): doc_id predicates test each partition's
+         [min_doc_id, max_doc_id] range (stripes are doc_id-sorted so it is
+         tight); source predicates test the pid's source prefix — true
+         partition-key pruning, since source is part of the mandated salt
+         key. Pruned files are never opened.
+      2. STRIPE level — stripes whose footer stats are disjoint from ANY
+         conjunct are skipped before a single stream of the blob is
+         decompressed (stripe_matches_pred).
+      3. ROW level — surviving stripes are filtered exactly (arrow compute),
+         so the result equals an unpruned decode + filter (pruning is
+         transparent; the pruned_scan* gate queries certify this against
+         the SQL oracle).
     Note the mandated salt ANTI-clusters doc_ids across partitions, so
-    file-level pruning pays on source-prefixed id ranges (the salt preserves
-    the source prefix), and stripe-level pruning pays where arrival order
-    correlates with the predicate column — e.g. time-ordered corpora."""
+    doc_id file pruning pays on source-prefixed id ranges (the salt
+    preserves the source prefix), and stripe-level pruning pays where
+    arrival order correlates with the predicate column — e.g. time-ordered
+    corpora. Source predicates prune files regardless.
+
+    `prune_metrics` (optional dict) records proof that pruning fired:
+    'files_total'/'files_pruned' are filled immediately (driver-side);
+    'stripes_seen'/'stripes_skipped' are Spark accumulators — read
+    `.value` after an action on the returned DataFrame."""
     wh = Warehouse(warehouse_path)
     snapshot = snapshot or wh.current_snapshot_id()
     manifest = wh.read_manifest(snapshot)
     files = wh.committed_files(snapshot)
-    schema = manifest["schema"] if manifest else {}
-    if predicate:
-        pcol, plo, phi = predicate
-        if pcol not in schema:
-            raise ValueError(f"predicate column {pcol!r} not in table schema")
-        if pcol == "doc_id":
-            files = [
-                p["file"]
-                for p in manifest["partitions"].values()
-                if not (p["max_doc_id"] < plo or p["min_doc_id"] > phi)
-            ]
-            if not files:  # every partition pruned: empty result, no job
-                files = None
-    if files is None or not files:
-        if manifest and predicate:
-            names = columns or list(schema.keys())
-            out_schema = ", ".join(f"{n} {_spark_type_str(schema[n])}" for n in names)
-            return spark.createDataFrame([], out_schema)
+    if not files:
+        # distinct from "every file pruned" below: a snapshot with nothing
+        # committed is a caller error, not an empty query result
         raise ValueError(f"no committed files for snapshot {snapshot}")
+    schema = manifest["schema"] if manifest else {}
+    preds = normalize_predicates(predicate)
+    for p in preds:
+        if p[1] not in schema:
+            raise ValueError(f"predicate column {p[1]!r} not in table schema")
+        if _spark_type_str(schema[p[1]]).startswith("array"):
+            raise ValueError(f"predicate on array column {p[1]!r} unsupported")
     names = columns or list(schema.keys())
     out_schema = ", ".join(f"{n} {_spark_type_str(schema[n])}" for n in names)
-    # the predicate column must be decoded to filter rows; drop it after if
-    # the caller did not ask for it
-    read_cols = names if not predicate or pcol in names else [*names, pcol]
+    if preds:
+        n_total = len(files)
+        files = [
+            part["file"]
+            for pid, part in manifest["partitions"].items()
+            if file_matches(pid, part, preds)
+        ]
+        if prune_metrics is not None:
+            prune_metrics["files_total"] = n_total
+            prune_metrics["files_pruned"] = n_total - len(files)
+        if not files:  # every partition pruned: empty result, no job
+            return spark.createDataFrame([], out_schema)
+    if prune_metrics is not None:
+        sc = spark.sparkContext
+        prune_metrics["stripes_seen"] = sc.accumulator(0)
+        prune_metrics["stripes_skipped"] = sc.accumulator(0)
+    acc_seen = (prune_metrics or {}).get("stripes_seen")
+    acc_skip = (prune_metrics or {}).get("stripes_skipped")
+    # predicate columns must be decoded to filter rows; drop them after if
+    # the caller did not ask for them
+    pcols = [p[1] for p in preds]
+    read_cols = names + [c for c in pcols if c not in names]
 
     def decode_partition(batches):
         for batch in batches:
@@ -405,20 +502,22 @@ def decode_table(
             footers = batch.column("footer")
             for i in range(batch.num_rows):
                 footer = footer_from_json(str(footers[i]))
-                if predicate and not stripe_matches(footer, pcol, plo, phi):
+                if acc_seen is not None:
+                    acc_seen.add(1)
+                if preds and not all(
+                    stripe_matches_pred(footer, p) for p in preds
+                ):
+                    if acc_skip is not None:
+                        acc_skip.add(1)
                     continue
                 rb = decode_stripe(
                     blobs[i].as_buffer(), footer, columns=read_cols
                 )
-                if predicate:
-                    c = rb.column(pcol)
-                    mask = pc.and_(
-                        pc.greater_equal(c, plo), pc.less_equal(c, phi)
-                    )
-                    rb = rb.filter(mask)
+                if preds:
+                    rb = rb.filter(_row_mask(rb, preds))
                     if rb.num_rows == 0:
                         continue
-                    if pcol not in names:
+                    if read_cols != names:
                         rb = rb.select(names)
                 yield rb
 

@@ -132,3 +132,101 @@ def test_bad_predicate_column_raises(spark, tmp_path):
     encode_table(spark, df, wh, snapshot="s1", salt_buckets=1)
     with pytest.raises(ValueError, match="predicate column"):
         decode_table(spark, wh, snapshot="s1", predicate=("nope", 0, 1))
+
+
+def _two_source_df(spark, n=2_000):
+    return (
+        spark.range(n)
+        .select(
+            F.format_string("d%06d", F.col("id")).alias("doc_id"),
+            F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 50).cast("int") + 2),
+                lambda i: (i * 7 % 101).cast("int"),
+            ).alias("tokens"),
+            F.when(F.col("id") % 3 == 0, F.lit("alpha"))
+            .when(F.col("id") % 3 == 1, F.lit("beta"))
+            .otherwise(F.lit("gamma"))
+            .alias("source"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .select("doc_id", "tokens", "n_tok", "source")
+    )
+
+
+def test_composite_predicate_conjunction_and_in_set(spark, tmp_path):
+    """Conjunction [(source IN-set), (n_tok between)] must equal the
+    unpruned decode + both filters, and the source IN-set must prune
+    whole files via the pid prefix (partition-key pruning)."""
+    wh = str(tmp_path / "wh")
+    encode_table(spark, _two_source_df(spark), wh, snapshot="s1", salt_buckets=2)
+    metrics = {}
+    got = decode_table(
+        spark,
+        wh,
+        snapshot="s1",
+        predicate=[("source", ("alpha", "gamma")), ("n_tok", 10, 30)],
+        prune_metrics=metrics,
+    )
+    full = decode_table(spark, wh, snapshot="s1")
+    expect = sorted(
+        (r["doc_id"], r["source"], r["n_tok"])
+        for r in full.where(
+            F.col("source").isin("alpha", "gamma") & F.col("n_tok").between(10, 30)
+        ).collect()
+    )
+    rows = sorted((r["doc_id"], r["source"], r["n_tok"]) for r in got.collect())
+    assert rows == expect and len(rows) > 0
+    # beta's files (1/3 of pids) must never have been opened — and some
+    # must survive, or the equality above compared empty sets
+    assert 0 < metrics["files_pruned"] < metrics["files_total"]
+    assert metrics["stripes_seen"].value > 0
+
+
+def test_in_set_predicate_on_doc_id_prunes_files(spark, tmp_path):
+    """IN-set on doc_id: file pruned when no member hits its manifest
+    range; surviving rows are exactly the set members."""
+    wh = str(tmp_path / "wh")
+    df = (
+        spark.range(400)
+        .select(
+            F.concat(
+                F.when(F.col("id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")),
+                F.format_string("%06d", F.col("id")),
+            ).alias("doc_id"),
+            F.array(F.lit(1), (F.col("id") % 100).cast("int")).alias("tokens"),
+            F.when(F.col("id") % 2 == 0, F.lit("alpha"))
+            .otherwise(F.lit("beta"))
+            .alias("source"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .select("doc_id", "tokens", "n_tok", "source")
+    )
+    encode_table(spark, df, wh, snapshot="s1", salt_buckets=2)
+    want = ["a000002", "a000100"]
+    metrics = {}
+    out = decode_table(
+        spark, wh, snapshot="s1", predicate=("doc_id", want), prune_metrics=metrics
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == want
+    # all-b files have manifest ranges above/below the a-ids -> pruned
+    assert metrics["files_pruned"] > 0
+
+
+def test_empty_snapshot_raises_even_with_predicate(spark, tmp_path):
+    """'nothing committed' is a caller error; only 'all files pruned'
+    returns an empty result (regression: the two were conflated)."""
+    wh = str(tmp_path / "wh")
+    encode_table(spark, _clustered_df(spark, n=50), wh, snapshot="s1", salt_buckets=1)
+    with pytest.raises(ValueError, match="no committed files"):
+        decode_table(spark, wh, snapshot="nope", predicate=("n_tok", 0, 1))
+
+
+def test_malformed_predicates_raise(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    encode_table(spark, _clustered_df(spark, n=50), wh, snapshot="s1", salt_buckets=1)
+    with pytest.raises(ValueError, match="empty IN-set"):
+        decode_table(spark, wh, snapshot="s1", predicate=("doc_id", []))
+    with pytest.raises(ValueError, match="neither"):
+        decode_table(spark, wh, snapshot="s1", predicate=("n_tok", 5))
+    with pytest.raises(ValueError, match="array column"):
+        decode_table(spark, wh, snapshot="s1", predicate=("tokens", 0, 1))
