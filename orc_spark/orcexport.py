@@ -14,13 +14,52 @@ footerLength=4, numberOfRows=5}; StripeFooter{streams=1, columns=2};
 Stream{kind=1, column=2, length=3}; ColumnEncoding{kind=1};
 Type{kind=1, subtypes=2, fieldNames=3}.
 
-Only what the conformance tests need: single-stripe, uncompressed,
-struct<x:long> or struct<x:list<int>>, DIRECT_V2 everywhere, no indexes.
+The conformance helpers (write_long_file & co.) stay uncompressed so raw
+stream bytes land verbatim; OrcFileWriter itself defaults to spec-conformant
+zstd block compression (64 KiB chunks, 3-byte chunk headers, CompressionKind
+ZSTD=5) — at 100 TB an uncompressed interchange copy would cost ~1.6x the
+warehouse in storage/egress.
 """
 
 from __future__ import annotations
 
 MAGIC = b"ORC"
+
+_COMPRESSION_KIND = {"none": 0, "zlib": 1, "zstd": 5}  # CompressionKind
+_BLOCK = 0x10000  # compressionBlockSize: 64 KiB, the reference default
+
+
+def _zstd():
+    import pyarrow as pa
+
+    # level 1: measured smaller AND ~4.5x faster than 3 on RLEv2-packed
+    # token streams (codecs/compression.py) — same tradeoff applies here
+    return pa.Codec("zstd", 1)
+
+
+def compression_frame(data: bytes, codec: str) -> bytes:
+    """Wrap raw bytes in ORC compression chunks ([ORCv1] "Compression"):
+    each chunk is a 3-byte little-endian header (chunkLength << 1, low bit
+    set when the chunk is stored original/uncompressed) + chunk body, with
+    chunkLength <= compressionBlockSize. Chunks where compression does not
+    shrink are stored original — the spec's escape for incompressible
+    (already-entropy-coded) stream bytes."""
+    if codec == "none":
+        return data
+    if codec != "zstd":
+        raise ValueError(f"unsupported export compression {codec!r}")
+    c = _zstd()
+    out = bytearray()
+    for i in range(0, len(data), _BLOCK):
+        chunk = data[i : i + _BLOCK]
+        comp = c.compress(chunk, asbytes=True)
+        if len(comp) < len(chunk):
+            header, body = len(comp) << 1, comp
+        else:
+            header, body = (len(chunk) << 1) | 1, chunk
+        out += header.to_bytes(3, "little")
+        out += body
+    return bytes(out)
 
 # Type.Kind enum values ([ORCv1])
 _LONG = 4
@@ -265,7 +304,10 @@ class OrcFileWriter:
     file-per-stripe explosion (at 10^12 rows, one file per 4M-token stripe
     would be millions of files; per-pid files are O(#partitions))."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, compression: str = "zstd"):
+        if compression not in _COMPRESSION_KIND:
+            raise ValueError(f"unsupported export compression {compression!r}")
+        self.compression = compression
         self.fh = open(path, "wb")
         self.fh.write(MAGIC)
         self.pos = len(MAGIC)
@@ -279,9 +321,19 @@ class OrcFileWriter:
 
     def add_raw_stripe(self, n_rows, types, streams, encodings) -> None:
         """Append one stripe from pre-encoded raw streams (also the single
-        serialization path for the write_*_file conformance helpers)."""
+        serialization path for the write_*_file conformance helpers).
+
+        With compression on, each stream is framed INDEPENDENTLY (streams
+        must stay independently seekable/decompressible per the spec) and
+        the recorded stream lengths are the framed lengths; the stripe
+        footer is framed too."""
         if self.types is None:
             self.types = types
+        if self.compression != "none":
+            streams = [
+                (col, kind, compression_frame(s, self.compression))
+                for col, kind, s in streams
+            ]
         body = b"".join(s for _, _, s in streams)
         sf = bytearray()
         for col, kind, s in streams:
@@ -291,7 +343,7 @@ class OrcFileWriter:
                 _field(sf, 2, _msg((1, enc[0]), (2, enc[1])))
             else:
                 _field(sf, 2, _msg((1, enc)))
-        sf = bytes(sf)
+        sf = compression_frame(bytes(sf), self.compression)
         self.stripes.append(
             _msg(
                 (1, self.pos),
@@ -316,8 +368,8 @@ class OrcFileWriter:
             _field(footer, 4, t)
         _field(footer, 6, self.n_rows)
         _field(footer, 8, 0)
-        footer = bytes(footer)
-        ps = _postscript(len(footer))
+        footer = compression_frame(bytes(footer), self.compression)
+        ps = _postscript(len(footer), self.compression)
         self.fh.write(footer)
         self.fh.write(ps)
         self.fh.write(bytes([len(ps)]))
@@ -333,17 +385,19 @@ def write_batch_file(path: str, batch) -> None:
 
 def _write(path, n_rows, types, streams, encodings):
     """Single-stripe file from raw streams — delegates to OrcFileWriter so
-    there is exactly one serializer for the container format."""
-    w = OrcFileWriter(path)
+    there is exactly one serializer for the container format. Uncompressed:
+    the conformance helpers hand over raw stream bytes that must land in
+    the file verbatim for byte-level comparison against liborc's."""
+    w = OrcFileWriter(path, compression="none")
     w.add_raw_stripe(n_rows, types, streams, encodings)
     w.close()
 
 
-def _postscript(footer_len: int) -> bytes:
+def _postscript(footer_len: int, compression: str = "none") -> bytes:
     ps = bytearray()
     _field(ps, 1, footer_len)
-    _field(ps, 2, 0)  # CompressionKind NONE
-    _field(ps, 3, 0x10000)
+    _field(ps, 2, _COMPRESSION_KIND[compression])
+    _field(ps, 3, _BLOCK)
     _uv(ps, (4 << 3) | 0)  # version [0, 12]
     _uv(ps, 0)
     _uv(ps, (4 << 3) | 0)

@@ -219,3 +219,51 @@ def test_liborc_reads_our_canonical_token_streams(tmp_path):
     got = paorc.ORCFile(f).read().column("x").combine_chunks()
     assert np.array_equal(np.asarray(got.value_lengths()), lens)
     assert np.array_equal(np.asarray(got.flatten(), dtype=np.int64), flat)
+
+
+def test_compression_frame_chunking_and_original_escape():
+    """ORC compression chunks: >64 KiB input splits into multiple chunks;
+    incompressible chunks are stored original (low header bit set) — the
+    decoder must accept a mix of both in one stream."""
+    from orc_spark.orcexport import _BLOCK, compression_frame
+
+    rng = np.random.default_rng(1)
+    incompressible = rng.integers(0, 256, _BLOCK + 1000, dtype=np.uint8).tobytes()
+    framed = compression_frame(incompressible, "zstd")
+    h0 = int.from_bytes(framed[:3], "little")
+    assert h0 & 1, "random bytes should be stored original"
+    assert (h0 >> 1) == _BLOCK
+    # an original chunk costs exactly header + raw bytes
+    second = framed[3 + _BLOCK :]
+    assert (int.from_bytes(second[:3], "little") >> 1) == len(second) - 3
+    compressible = b"ab" * (_BLOCK)  # 2 blocks, both compress
+    framed2 = compression_frame(compressible, "zstd")
+    assert len(framed2) < len(compressible) // 10
+    assert compression_frame(b"", "zstd") == b""
+
+
+def test_liborc_reads_our_compressed_multichunk(tmp_path):
+    """A single stripe whose streams span many 64 KiB chunks, with an
+    incompressible column forcing original-escape chunks mid-stream —
+    liborc must read every value back bit-equal."""
+    import pyarrow as pa
+
+    from orc_spark.orcexport import write_batch_file
+
+    rng = np.random.default_rng(9)
+    n = 120_000
+    noise = rng.integers(-(1 << 62), 1 << 62, n, dtype=np.int64)  # incompressible
+    runs = np.repeat(np.arange(n // 100, dtype=np.int64), 100)  # compressible
+    words = ["tok%04d" % v for v in rng.integers(0, 30, n)]
+    batch = pa.record_batch(
+        [pa.array(noise), pa.array(runs), pa.array(words, type=pa.string())],
+        names=["noise", "runs", "s"],
+    )
+    f = str(tmp_path / "multi.orc")
+    write_batch_file(f, batch)
+    orc = paorc.ORCFile(f)
+    assert str(orc.compression).upper() == "ZSTD"
+    t = orc.read()
+    assert np.array_equal(np.asarray(t.column("noise")), noise)
+    assert np.array_equal(np.asarray(t.column("runs")), runs)
+    assert t.column("s").to_pylist() == words
