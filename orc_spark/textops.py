@@ -336,34 +336,133 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_clusters(
-    spark: SparkSession, sf_dir: str, max_iters: int = 20
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iters: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
-    """Near-dup CLUSTER assignment — the endpoint of the dedup family:
-    connected components over the MinHash-LSH candidate graph, labeling
-    every document (singletons included) with the lexicographic-min doc_id
-    of its component; `is_keeper` marks the one canonical doc per cluster.
+    """Connected components over an undirected candidate graph: label every
+    node (singletons included) with the lexicographic-min node id of its
+    component. `nodes` has one string column `node`; `pairs` has string
+    columns `u`, `v` (one row per undirected edge, either orientation).
 
-    Iterative min-label propagation: each round is one equi-join of the
-    undirected edge list against current labels plus one min-aggregate —
-    both map-side-combinable shuffles on doc_id keys, no all-pairs anywhere.
-    Rounds needed = graph diameter (near-dup clusters are tiny cliques, so
-    2-3 in practice; hard cap `max_iters`); the driver checks convergence
-    with an O(1)-row count per round. At 10^12-doc scale the same loop
-    holds (the candidate graph is band-bucketed, edges ~ O(dups)); the
-    classic large-star/small-star refinement drops in here unchanged if
-    diameters ever grow. Labels are doc_id STRINGS so the DuckDB recursive
-    reachability oracle orders identically."""
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("node"))
-    cand = minhash_candidates(spark, sf_dir).select(
-        F.col("id_a").cast("string").alias("id_a"),
-        F.col("id_b").cast("string").alias("id_b"),
+    algorithm="label" (default): iterative min-label propagation — one
+    equi-join + one min-aggregate per round, both map-side-combinable;
+    rounds = component diameter (near-dup clusters are tiny cliques, so 2-3
+    in practice). Raises past `max_iters` rather than silently returning
+    split components.
+
+    algorithm="star": the alternating large-star/small-star contraction
+    ([CC-MR] Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log d) rounds, for adversarial long-chain components where
+    diameter-bounded propagation would blow the round budget. Per round:
+    large-star hangs every neighbor v > u under u's neighborhood minimum,
+    small-star hangs the lower neighbors + hub under the minimum; the edge
+    set converges to stars pointing at component minima. Each phase is one
+    map-side-combinable min-aggregate + one equi-join on node keys — the
+    same shuffle shapes as label mode, just fewer rounds. Convergence is
+    detected by an O(1)-row (count, order-free hash) signature, so no
+    edge-set diff join."""
+    if algorithm == "star":
+        return _cc_star(nodes, pairs, max_iters)
+    if algorithm != "label":
+        raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
+    return _cc_label(nodes, pairs, max_iters)
+
+
+def _cc_star(nodes: DataFrame, pairs: DataFrame, max_iters: int) -> DataFrame:
+    # Each round's plan references the previous round's edge set several
+    # times (both orientations + the min join), so un-truncated lineage
+    # grows exponentially in rounds; localCheckpoint materializes the edge
+    # set AND cuts the logical plan each round (on a real cluster, swap for
+    # checkpoint() on reliable storage if executor loss must be survivable
+    # mid-contraction — the algorithm itself is restart-idempotent).
+    e = (
+        pairs.select("u", "v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
     )
+
+    def signature(edges: DataFrame) -> tuple:
+        # O(1)-row convergence probe: count + order-free xor of edge hashes
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = signature(e)
+    converged = False
+    for _ in range(max_iters):
+        nb = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # large-star: m = min(neighborhood ∪ self); every v > u re-hangs
+        # under m (strictly-greater guard keeps edges acyclic)
+        mins = nb.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            nb.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: per hub hi, hang its lower neighbors + itself
+        # under their minimum
+        s = ls.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        )
+        mins2 = s.groupBy("hi").agg(F.min("lo").alias("m"))
+        e = (
+            s.join(mins2, "hi")
+            .where(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("u"), F.col("m").alias("v"))
+            .unionAll(
+                mins2.select(F.col("hi").alias("u"), F.col("m").alias("v"))
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = signature(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in "
+            f"{max_iters} rounds"
+        )
+    # at the fixpoint the edge set is a union of stars (u -> component
+    # min); the min-aggregate below is belt-and-braces, not load-bearing
+    labs = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("lab"))
+    return nodes.join(labs, "node", "left").select(
+        "node", F.coalesce("lab", F.col("node")).alias("lab")
+    )
+
+
+def _cc_label(nodes: DataFrame, pairs: DataFrame, max_iters: int) -> DataFrame:
+    """Iterative min-label propagation: each round is one equi-join of the
+    undirected edge list against current labels plus one min-aggregate —
+    both map-side-combinable shuffles on node keys, no all-pairs anywhere.
+    Rounds needed = graph diameter (hard cap `max_iters`); the driver checks
+    convergence with an O(1)-row count per round. Returns (node, lab)."""
     edges = (
-        cand.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionAll(cand.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        pairs.select(F.col("u"), F.col("v"))
+        .unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     ).persist()
-    labels = docs.select("node", F.col("node").alias("lab")).persist()
+    # Each round's plan nests the previous labels plan twice (the
+    # propagation join + the union), so persist alone leaves an
+    # exponentially-growing logical plan that OOMs the driver past ~8
+    # rounds; localCheckpoint materializes AND truncates lineage each round
+    # (checkpoint() on reliable storage is the cluster-grade swap-in — the
+    # loop is restart-idempotent either way).
+    labels = nodes.select("node", F.col("node").alias("lab")).localCheckpoint()
     converged = False
     try:
         for _ in range(max_iters):
@@ -374,7 +473,7 @@ def dedup_clusters(
                 labels.unionAll(prop)
                 .groupBy("node")
                 .agg(F.min("lab").alias("lab"))
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
@@ -383,7 +482,6 @@ def dedup_clusters(
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 converged = True
@@ -394,14 +492,45 @@ def dedup_clusters(
             # components deeper than max_iters need a higher cap or the
             # large-star/small-star variant
             raise RuntimeError(
-                f"dedup_clusters did not converge in {max_iters} rounds "
-                "(component diameter exceeds max_iters)"
+                f"connected_components(label) did not converge in "
+                f"{max_iters} rounds (component diameter exceeds max_iters; "
+                "raise the cap or use algorithm='star')"
             )
     finally:
         edges.unpersist()
-    # the final labels stay persisted (truncating the N-iteration lineage);
+    # labels is checkpointed (lineage truncated, the N-iteration plan gone);
     # no driver collect — the result remains a distributed DataFrame and
-    # Spark's ContextCleaner reclaims the cache once consumers drop it
+    # Spark's ContextCleaner reclaims the blocks once consumers drop them
+    return labels
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    max_iters: int = 20,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Near-dup CLUSTER assignment — the endpoint of the dedup family:
+    connected components over the MinHash-LSH candidate graph, labeling
+    every document (singletons included) with the lexicographic-min doc_id
+    of its component; `is_keeper` marks the one canonical doc per cluster.
+
+    Default algorithm is min-label propagation (rounds = diameter; near-dup
+    clusters are tiny cliques, so 2-3 in practice); pass algorithm="star"
+    for the O(log d)-round large-star/small-star contraction when
+    adversarial long-chain components exceed the round budget — see
+    `connected_components`. At 10^12-doc scale the same loops hold (the
+    candidate graph is band-bucketed, edges ~ O(dups)). Labels are doc_id
+    STRINGS so the DuckDB recursive reachability oracle orders
+    identically."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("node")
+    )
+    cand = minhash_candidates(spark, sf_dir).select(
+        F.col("id_a").cast("string").alias("u"),
+        F.col("id_b").cast("string").alias("v"),
+    )
+    labels = connected_components(docs, cand, max_iters, algorithm)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("lab").alias("cluster_id"),

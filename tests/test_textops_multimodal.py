@@ -160,6 +160,97 @@ def test_dedup_clusters_raises_when_not_converged(spark, tmp_path):
         textops.dedup_clusters(spark, d, max_iters=1)
 
 
+def test_connected_components_star_long_path(spark):
+    """The large-star/small-star variant must label a path-graph component
+    of diameter 40 in O(log d) rounds — where diameter-bounded label
+    propagation at the same round budget must raise, not silently split
+    the component (verdict r3 item 6)."""
+    import pytest as _pytest
+
+    from orc_spark import textops
+
+    ids = [f"n{i:02d}" for i in range(41)] + ["solo"]
+    nodes = spark.createDataFrame([(i,) for i in ids], ["node"])
+    path_edges = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(40)]
+    pairs = spark.createDataFrame(path_edges, ["u", "v"])
+
+    labs = {
+        r["node"]: r["lab"]
+        for r in textops.connected_components(
+            nodes, pairs, max_iters=10, algorithm="star"
+        ).collect()
+    }
+    assert len(labs) == 42
+    assert all(labs[f"n{i:02d}"] == "n00" for i in range(41))
+    assert labs["solo"] == "solo"
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        textops.connected_components(
+            nodes, pairs, max_iters=10, algorithm="label"
+        ).collect()
+
+
+def test_connected_components_star_agrees_with_label(spark):
+    """On a multi-component graph with cliques, chains, and reversed edge
+    orientations, star and label modes must produce identical labelings."""
+    import random
+
+    from orc_spark import textops
+
+    rng = random.Random(7)
+    ids = [f"d{i:03d}" for i in range(60)]
+    edges = []
+    # three planted components with mixed shapes
+    for base in (0, 20, 40):
+        members = ids[base : base + rng.randint(3, 9)]
+        for a, b in zip(members, members[1:]):
+            edges.append((b, a) if rng.random() < 0.5 else (a, b))
+        if len(members) > 3:  # add a chord + a duplicate edge
+            edges.append((members[0], members[-1]))
+            edges.append(edges[-1])
+    nodes = spark.createDataFrame([(i,) for i in ids], ["node"])
+    pairs = spark.createDataFrame(edges, ["u", "v"])
+
+    lab = {
+        r["node"]: r["lab"]
+        for r in textops.connected_components(
+            nodes, pairs, algorithm="label"
+        ).collect()
+    }
+    star = {
+        r["node"]: r["lab"]
+        for r in textops.connected_components(
+            nodes, pairs, algorithm="star"
+        ).collect()
+    }
+    assert lab == star
+    assert len(lab) == 60
+
+
+def test_dedup_clusters_star_mode_matches_default(spark, tmp_path):
+    """dedup_clusters(algorithm='star') over the real candidate graph must
+    equal the default label-propagation output row for row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orc_spark import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(12).collect()
+    rows = {c: [r[c] for r in docs] for c in docs[0].asDict()}
+    rows["text"][1] = rows["text"][0] + " extra"
+    rows["text"][2] = rows["text"][0] + " more"
+    d = str(tmp_path / "star")
+    os.makedirs(d)
+    pq.write_table(pa.table(rows), f"{d}/documents.parquet")
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert snap(textops.dedup_clusters(spark, d, algorithm="star")) == snap(
+        textops.dedup_clusters(spark, d)
+    )
+
+
 def test_all_pairs_guards_refuse_big_inputs(spark):
     """The two documented quadratic oracles must refuse large inputs and
     point at their scale-safe twins unless allow_quadratic=True is passed
