@@ -50,7 +50,14 @@ def _ensure_input(docs: int, base: str) -> tuple[str, int]:
     return d, ntok
 
 
-def _run(inp: str, wh: str, cpus: int, retries: int = 1, pin: bool = False) -> dict:
+def _run(
+    inp: str,
+    wh: str,
+    cpus: int,
+    retries: int = 1,
+    pin: bool = False,
+    mode: str = "pinned",
+) -> dict:
     shutil.rmtree(wh, ignore_errors=True)
     # benchmark harness: measure the verified-pipeline configuration
     # (bench.py's headline runs with shuffle checksums off because its
@@ -58,13 +65,35 @@ def _run(inp: str, wh: str, cpus: int, retries: int = 1, pin: bool = False) -> d
     # taken on the same config)
     env = {**os.environ, "SPARK_DRIVER_MEM": "16g",
            "ORC_SPARK_SHUFFLE_CHECKSUM": "false"}
+    if mode == "cluster":
+        # two-cluster-size protocol: N single-core executor JVMs vs 4N —
+        # each executor is its own JVM process (per-executor GC/shuffle/
+        # Arrow-feed threads + its own forked Python workers), shuffles go
+        # over real netty between JVMs, and the driver JVM (which also
+        # hosts the Master/Worker RPC endpoints) lives on a FIXED core set
+        # disjoint from the measured budget — identical at both sizes, as
+        # a real cluster's driver node is. job.py applies the pinning
+        # (executor trees -> budget, driver tree -> driver cores) before
+        # the first Python task so forked workers inherit affinity.
+        env.update({
+            "ORC_SPARK_MASTER": f"local-cluster[{cpus},1,4096]",
+            "ORC_SPARK_EXECUTOR_MEM": "3g",
+            "ORC_SPARK_PIN_EXECUTORS": f"0-{cpus - 1}",
+            "ORC_SPARK_PIN_DRIVER": "28-31",
+        })
+        pin = False  # in-job pinning replaces whole-tree taskset
     cmd = [sys.executable, os.path.join(REPO, "job.py"), "--input", inp,
            "--warehouse", wh, "--cpus", str(cpus), "--warmup",
-           # one encode task per core: the task's JVM-feed and Python-codec
-           # threads interleave on the same core (mild oversubscription
-           # pipelines stalls; measured faster than cores/2 tasks when the
-           # process tree is pinned to its core budget)
-           "--partitions", str(cpus),
+           # two encode tasks per core: a task's JVM Arrow-feed thread and
+           # its Python codec worker alternate (each stalls while the other
+           # runs), so 1 task/core leaves cores idle at every handoff —
+           # /proc sampling mid-encode showed only 3.1-3.6 of 4 pinned
+           # cores busy. 2x oversubscription fills the gaps: measured
+           # medians of 3 alternated reps at 322M tokens: +11% at pinned
+           # 4-core (20.4 -> 22.6 Mtok/s), +6% at pinned 1-core
+           # (6.27 -> 6.67). Scales with cpus, so both cluster sizes get
+           # the identical rule.
+           "--partitions", str(2 * cpus),
            # bucket count per the pipeline capacity rule (S ~ bytes /
            # (n_sources x target-partition-size)): a 1.3 GB input needs few
            # buckets; 32 would fragment each task across 160 tiny pids, a
@@ -85,7 +114,7 @@ def _run(inp: str, wh: str, cpus: int, retries: int = 1, pin: bool = False) -> d
             return json.loads(line)
     if retries > 0:  # e.g. Spark local-mode ContextCleaner broadcast race
         print(f"# retrying cpus={cpus} after failure", file=sys.stderr, flush=True)
-        return _run(inp, wh, cpus, retries - 1, pin)
+        return _run(inp, wh, cpus, retries - 1, pin, mode)
     raise RuntimeError(f"job failed (cpus={cpus}):\n{out.stderr[-2000:]}")
 
 
@@ -97,6 +126,11 @@ def main() -> None:
     ap.add_argument("--base", default="/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
     ap.add_argument("--pin", action="store_true",
                     help="taskset each run to exactly its core budget")
+    ap.add_argument("--mode", choices=["pinned", "cluster"], default="pinned",
+                    help="pinned: single local[N] JVM, whole process tree "
+                    "taskset to N cores (with --pin). cluster: "
+                    "local-cluster[N,1,*] — N single-core executor JVMs "
+                    "pinned to the budget, driver on separate fixed cores")
     args = ap.parse_args()
     xn = 4 * args.n
 
@@ -105,7 +139,7 @@ def main() -> None:
     runs: dict[str, list[float]] = {str(args.n): [], str(xn): []}
     for _ in range(args.pairs):
         for cpus in (xn, args.n):  # alternate so both sample the same noise
-            m = _run(inp, wh, cpus, pin=args.pin)
+            m = _run(inp, wh, cpus, pin=args.pin, mode=args.mode)
             runs[str(cpus)].append(m["encode_tokens_per_s"])
             print(f"# cpus={cpus} encode_s={m['encode_s']} "
                   f"thr={m['encode_tokens_per_s']/1e6:.2f} Mtok/s",
@@ -122,6 +156,7 @@ def main() -> None:
     ]
     med = sorted(pair_eff)[len(pair_eff) // 2] if pair_eff else None
     print(json.dumps({
+        "mode": args.mode,
         "n": args.n, "xn": xn,
         "thr_n_tokens_per_s": round(thr_n, 1),
         "thr_xn_tokens_per_s": round(thr_xn, 1),

@@ -26,6 +26,88 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _proc_pids(needle: str) -> list[int]:
+    import glob
+
+    pids = []
+    for p in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            with open(p, "rb") as fh:
+                cmd = fh.read().replace(b"\0", b" ").decode("utf-8", "replace")
+        except OSError:
+            continue
+        if needle in cmd and "java" in cmd.split(" ", 1)[0]:
+            pids.append(int(p.split("/")[2]))
+    return pids
+
+
+def _pin_cluster_processes(spark) -> None:
+    """Benchmark-protocol CPU pinning for local-cluster runs (set by
+    bench_scaling.py --mode cluster). A real N-executor cluster gives each
+    executor its own cores and keeps the driver on a separate node; the
+    single-box analog is: pin every executor JVM (and the Python codec
+    workers it forks, which inherit affinity) to exactly the measured core
+    budget, and pin the driver python + JVM (which also hosts the
+    local-cluster Master/Worker RPC endpoints) to a fixed, disjoint core
+    set that is IDENTICAL at both cluster sizes — so the scaling ratio
+    compares executor fleets, not driver overhead. env:
+      ORC_SPARK_PIN_EXECUTORS=0-3    cores for all executor backends
+      ORC_SPARK_PIN_DRIVER=28-31     cores for the driver process tree
+    Executors must be pinned BEFORE the first Python task so forked
+    pyspark.daemon trees inherit the affinity."""
+    import subprocess
+    import time
+
+    exec_cores = os.environ.get("ORC_SPARK_PIN_EXECUTORS")
+    if not exec_cores:
+        return
+    master = spark.sparkContext.master
+    expected = 1
+    if master.startswith("local-cluster["):
+        expected = int(master.split("[")[1].split(",")[0])
+    app_id = spark.sparkContext.applicationId
+    deadline = time.monotonic() + 90
+    pids: list[int] = []
+    while time.monotonic() < deadline:
+        pids = [
+            p
+            for p in _proc_pids("CoarseGrainedExecutorBackend")
+            if p in _proc_pids(app_id)
+        ]
+        if len(pids) >= expected:
+            break
+        time.sleep(0.5)
+    if len(pids) < expected:
+        raise RuntimeError(
+            f"pinning: found {len(pids)} executor JVMs, expected {expected}"
+        )
+    for pid in pids:
+        subprocess.run(
+            ["taskset", "-a", "-pc", exec_cores, str(pid)],
+            check=True, capture_output=True,
+        )
+    driver_cores = os.environ.get("ORC_SPARK_PIN_DRIVER")
+    if driver_cores:
+        # this python process + its direct java child (the driver JVM);
+        # executor JVMs are the worker's children, not re-pinned here
+        me = os.getpid()
+        driver_pids = [me]
+        for p in os.listdir("/proc"):
+            if not p.isdigit() or int(p) in pids:
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as fh:
+                    if int(fh.read().split(")")[-1].split()[1]) == me:
+                        driver_pids.append(int(p))
+            except (OSError, ValueError, IndexError):
+                continue
+        for pid in driver_pids:
+            subprocess.run(
+                ["taskset", "-a", "-pc", driver_cores, str(pid)],
+                check=True, capture_output=True,
+            )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet dir of (doc_id,tokens,n_tok,source)")
@@ -63,6 +145,7 @@ def main() -> None:
         os.environ.setdefault("ORC_SPARK_SHUFFLE_CHECKSUM", "false")
     spark = get_spark(cpus=args.cpus, app_name="orc_spark_encode")
     spark.sparkContext.setLogLevel("ERROR")
+    _pin_cluster_processes(spark)
 
     if args.docs:
         import pyarrow.parquet as pq

@@ -44,11 +44,30 @@ def get_spark(
     local_dir = os.environ.get("SPARK_LOCAL_DIRS")
     if not local_dir and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/spark-local"
+    # ORC_SPARK_MASTER overrides the master URL — used by the scaling
+    # protocol to run `local-cluster[N,1,mem]`, where each of the N
+    # executors is its OWN JVM process (the honest single-box analog of an
+    # N-executor cluster: per-executor GC/shuffle/feed threads, real netty
+    # shuffle between JVMs, Python workers forked per executor).
+    master = os.environ.get("ORC_SPARK_MASTER") or f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     )
+    if master.startswith("local-cluster"):
+        builder = (
+            builder.config(
+                "spark.executor.memory",
+                os.environ.get("ORC_SPARK_EXECUTOR_MEM", "3g"),
+            )
+            # 1-core executors: same GC-thread discipline as the driver
+            # below, sized for the executor's single task slot
+            .config(
+                "spark.executor.extraJavaOptions",
+                "-XX:ParallelGCThreads=2 -XX:ConcGCThreads=1",
+            )
+        )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     builder = (
