@@ -66,6 +66,82 @@ def test_stream_encode_exactly_once(spark, tmp_path):
     assert verify_roundtrip(orig, dec)["ok"]
 
 
+def test_stream_restart_recovery_from_checkpoint(spark, tmp_path):
+    """Exactly-once ACROSS a driver restart (verdict r3 item 8): kill a
+    running continuous-trigger query mid-stream, restart a fresh query from
+    the same checkpointLocation, and prove the warehouse ends with no
+    missing and no duplicated rows — Spark replays the in-flight batch_id
+    and encode_table's per-snapshot idempotence (committed partitions
+    skipped, complete orphans adopted) makes the replay converge."""
+    import time
+
+    inp = tmp_path / "in_restart"
+    inp.mkdir()
+    t = tokens_arrow(400)
+    for i in range(4):
+        pq.write_table(t.slice(i * 100, 100), str(inp / f"part-{i}.parquet"))
+
+    wh = str(tmp_path / "wh_restart")
+    ckpt = str(tmp_path / "ckpt_restart")
+    w = Warehouse(wh)
+
+    def committed_snaps():
+        if not os.path.isdir(w.manifest_dir):
+            return []
+        return sorted(
+            f[5:-5]
+            for f in os.listdir(w.manifest_dir)
+            if f.startswith("snap-stream-")
+        )
+
+    # phase 1: continuous trigger, one file per micro-batch; kill the query
+    # as soon as the first snapshot commits (so later batches are pending
+    # or in flight — the restart has real work left to do)
+    q = encode_stream(
+        read_tokens_stream(spark, str(inp)),
+        wh,
+        checkpoint=ckpt,
+        salt_buckets=2,
+        stripe_tokens=50_000,
+        available_now=False,
+    )
+    deadline = time.monotonic() + 180
+    while time.monotonic() < deadline and not committed_snaps():
+        time.sleep(0.2)
+    assert committed_snaps(), "no snapshot committed before kill"
+    q.stop()  # mid-stream kill; batch in flight is abandoned uncommitted
+    n_before = len(committed_snaps())
+    assert n_before < 4, "kill landed after the whole backlog drained"
+
+    # phase 2: fresh query, SAME checkpoint — drains the remainder
+    q2 = encode_stream(
+        read_tokens_stream(spark, str(inp)),
+        wh,
+        checkpoint=ckpt,
+        salt_buckets=2,
+        stripe_tokens=50_000,
+    )
+    q2.awaitTermination(180)
+
+    snaps = committed_snaps()
+    assert len(snaps) > n_before
+    # no duplicates: committed row counts across snapshots sum exactly once
+    total_rows = sum(
+        p["n_rows"]
+        for s in snaps
+        for p in w.read_manifest(s)["partitions"].values()
+    )
+    assert total_rows == 400
+    # no missing / no corruption: decoded union is bit-identical to input
+    dec = None
+    for s in snaps:
+        d = decode_table(spark, wh, snapshot=s)
+        dec = d if dec is None else dec.unionAll(d)
+    orig = spark.createDataFrame(t.to_pandas())
+    res = verify_roundtrip(orig, dec)
+    assert res["ok"], res
+
+
 def test_windowed_stats_stream(spark, tmp_path):
     import pyarrow as pa
 
