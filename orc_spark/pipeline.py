@@ -289,12 +289,15 @@ def encode_table(
             skip = spark.createDataFrame([(p,) for p in committed], "pid string")
             dfp = dfp.join(F.broadcast(skip), "pid", "left_anti")
 
-    # each encode task keeps ~2 threads busy (JVM shuffle-read/Arrow feed +
-    # the Python codec worker), so running parallelism/2 tasks fills the
-    # machine without oversubscribing — measured faster than 1 task/core
-    # (local[16] beat local[32] on a 32-core box at 322M tokens)
+    # each encode task is a JVM Arrow-feed thread + a Python codec worker
+    # that strictly ALTERNATE (the core idles at every handoff), so fewer
+    # tasks than cores under-fills the machine: alternated A/B at 322M
+    # tokens measured parallelism/2 tasks clearly worst (19.0 vs 21.3
+    # median Mtok/s unpinned; pinned 1v4-core protocol +11% at 2 tasks per
+    # core). Default to one task per slot; the pinned scaling protocol
+    # passes 2/core explicitly.
     num_partitions = num_partitions or max(
-        spark.sparkContext.defaultParallelism // 2, 2
+        spark.sparkContext.defaultParallelism, 2
     )
     meta_df = (
         dfp.repartition(num_partitions, "pid")
