@@ -68,6 +68,33 @@ def choose_int(arr: np.ndarray) -> dict:
     return {"codec": best, "signed": signed}
 
 
+FLOAT_TRIAL = 4096  # values sampled for the raw-vs-split cost trial
+
+
+def choose_float(arr) -> dict:
+    """Float stream plan: 'raw' IEEE bytes vs 'split' byte-stream-split,
+    picked by an actual zstd cost trial on a sample (same philosophy as
+    choose_int: the selection is measured per stream, not hard-wired).
+    Split usually wins on real-valued data (near-constant sign/exponent
+    planes), raw on already-random or constant streams where planing buys
+    nothing — the trial costs ~0.1% of stream encode."""
+    from .codecs.floats import encode_floats
+
+    if len(arr) <= 16:
+        return {"method": "raw"}
+    if len(arr) > 3 * FLOAT_TRIAL:
+        third = FLOAT_TRIAL // 3
+        mid = (len(arr) - third) // 2
+        import numpy as np
+
+        sample = np.concatenate([arr[:third], arr[mid : mid + third], arr[-third:]])
+    else:
+        sample = arr[:FLOAT_TRIAL]
+    raw_c = len(compress(encode_floats(sample, "raw"), "zstd"))
+    split_c = len(compress(encode_floats(sample, "split"), "zstd"))
+    return {"method": "split" if split_c < raw_c else "raw"}
+
+
 def choose_string(n: int, n_distinct: int, sample: bytes) -> dict:
     """String column plan from cardinality + a byte sample. The trial-trained
     FSST table rides along in the plan so the encoder does not train twice

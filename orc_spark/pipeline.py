@@ -320,13 +320,21 @@ _ARROW_TO_SPARK = {
     "int64": "bigint",
     "string": "string",
     "large_string": "string",
+    "float": "float",
+    "double": "double",
 }
 
 
 def _spark_type_str(t: str) -> str:
     if t in _ARROW_TO_SPARK:
         return _ARROW_TO_SPARK[t]
+    if t.startswith("timestamp"):
+        return "timestamp"
     if t.startswith("list") or t.startswith("large_list"):
+        if "double" in t:
+            return "array<double>"
+        if "float" in t:
+            return "array<float>"
         return "array<int>"
     if t.startswith("array"):  # spark simpleString already
         return t

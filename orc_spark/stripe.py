@@ -4,9 +4,12 @@ ORC-style columnar decomposition (SURVEY.md §1.2, [ORCv1]): rows transpose
 into per-column streams inside each stripe —
 
   int32/int64 column      DATA (int codec)                [+ PRESENT if nulls]
+  float/double column     DATA (IEEE raw | byte-stream-split)  [+ PRESENT]
+  timestamp column        DATA (int codec over epoch counts)   [+ PRESENT]
   string column (direct)  LENGTH + DATA bytes             [+ PRESENT]
   string column (dict)    DATA (indices) + DICTIONARY_DATA + DICT_LENGTH
   list<int32> column      LENGTH + child DATA             [+ PRESENT]
+  list<float> column      LENGTH + child float DATA       [+ PRESENT]
 
 Every stream is independently wrapped by maybe_compress (zstd kept only when
 it shrinks), enabling column pruning at decode: the decoder only touches the
@@ -21,6 +24,7 @@ vectorized numpy codecs from orc_spark.codecs; no per-row Python.
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -29,6 +33,7 @@ import pyarrow.compute as pc
 from . import chooser
 from .codecs import strings as scodec
 from .codecs.compression import decompress, maybe_compress
+from .codecs.floats import decode_floats, encode_floats
 from .codecs.intcodecs import decode_int_stream, encode_int_stream
 from .codecs.present import decode_present, encode_present
 from .codecs.rlev2 import decode_rlev2, encode_rlev2
@@ -83,6 +88,49 @@ def _encode_int_column(w: _BlobWriter, name: str, arr: pa.Array, streams: list, 
     col_meta.update(encoding="DIRECT", stats=_int_stats(np_vals))
 
 
+def _float_stats(arr: np.ndarray) -> dict:
+    # NaN-poisoned min/max would prune WRONGLY (NaN compares false against
+    # everything), so a stream containing NaN publishes no range — pruning
+    # stays conservative, exactly like ORC's hasNull/statistics contract
+    if len(arr) == 0 or bool(np.isnan(arr).any()):
+        return {"min": None, "max": None, "n": int(len(arr))}
+    return {"min": float(arr.min()), "max": float(arr.max()), "n": int(len(arr))}
+
+
+def _encode_float_column(w: _BlobWriter, name: str, arr: pa.Array, streams: list, col_meta: dict):
+    if arr.null_count:
+        valid = ~np.asarray(arr.is_null())
+        streams.append(w.add(name, "PRESENT", encode_present(valid), {}))
+        arr = arr.drop_null()
+    np_vals = np.ascontiguousarray(arr.to_numpy(zero_copy_only=False))
+    plan = chooser.choose_float(np_vals)
+    raw = encode_floats(np_vals, plan["method"])
+    streams.append(
+        w.add(name, "DATA", raw, {"method": plan["method"], "n": len(np_vals)})
+    )
+    col_meta.update(encoding="DIRECT", stats=_float_stats(np_vals))
+
+
+def _encode_timestamp_column(w: _BlobWriter, name: str, arr: pa.Array, streams: list, col_meta: dict):
+    """Timestamps ride the integer pipeline as their epoch counts (the unit
+    lives in the type string): time-ordered streams are exactly where RLEv2
+    DELTA shines, and integer min/max stats make time-range stripe pruning
+    work unchanged ([ORCv1] encodes timestamps as integer seconds+nanos for
+    the same reason; one stream suffices at a fixed unit)."""
+    if arr.null_count:
+        valid = ~np.asarray(arr.is_null())
+        streams.append(w.add(name, "PRESENT", encode_present(valid), {}))
+        arr = arr.drop_null()
+    ints = arr.cast(pa.int64())
+    np_vals = np.ascontiguousarray(ints.to_numpy(zero_copy_only=False), dtype=np.int64)
+    plan = chooser.choose_int(np_vals)
+    raw = encode_int_stream(np_vals, plan["codec"], plan["signed"])
+    streams.append(
+        w.add(name, "DATA", raw, {"codec": plan["codec"], "signed": plan["signed"], "n": len(np_vals)})
+    )
+    col_meta.update(encoding="DIRECT", stats=_int_stats(np_vals))
+
+
 def _encode_string_column(w: _BlobWriter, name: str, arr: pa.Array, streams: list, col_meta: dict):
     if arr.null_count:
         valid = ~np.asarray(arr.is_null())
@@ -115,6 +163,22 @@ def _encode_list_column(w: _BlobWriter, name: str, arr: pa.Array, streams: list,
         valid = ~np.asarray(arr.is_null())
         streams.append(w.add(name, "PRESENT", encode_present(valid), {}))
         arr = arr.drop_null()
+    child_t = arr.type.value_type
+    if pa.types.is_floating(child_t):
+        # float child: LENGTH + float DATA (raw/split chosen per stream)
+        lens = np.asarray(arr.value_lengths(), dtype=np.int64)
+        flat = np.ascontiguousarray(arr.flatten().to_numpy(zero_copy_only=False))
+        streams.append(w.add(name, "LENGTH", encode_rlev2(lens, signed=False), {"codec": "rle2", "signed": False, "n": len(lens)}))
+        plan = chooser.choose_float(flat)
+        raw = encode_floats(flat, plan["method"])
+        streams.append(
+            w.add(name, "DATA", raw, {"method": plan["method"], "n": len(flat)})
+        )
+        col_meta.update(
+            encoding="DIRECT",
+            stats={**_float_stats(flat), "n_values": int(len(flat))},
+        )
+        return
     arr = arr.cast(pa.list_(pa.int32()))
     lens = np.asarray(arr.value_lengths(), dtype=np.int64)
     # keep the flattened tokens int32: encode_rlev2's narrow path runs the
@@ -141,6 +205,12 @@ def encode_stripe(batch: pa.RecordBatch) -> tuple[bytes, dict]:
         col_meta: dict = {"type": str(t), "null_count": int(arr.null_count)}
         if pa.types.is_integer(t):
             _encode_int_column(w, name, arr, streams, col_meta)
+        elif pa.types.is_floating(t):
+            if t.bit_width < 32:
+                raise TypeError(f"half-precision column {name!r} unsupported")
+            _encode_float_column(w, name, arr, streams, col_meta)
+        elif pa.types.is_timestamp(t):
+            _encode_timestamp_column(w, name, arr, streams, col_meta)
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             _encode_string_column(w, name, arr, streams, col_meta)
         elif pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -199,6 +269,21 @@ def decode_stripe(blob: bytes, footer: dict, columns: list[str] | None = None) -
             vals = decode_int_stream(raw, s["n"], s["codec"], s["signed"])
             arr = pa.array(vals, type=pa.int64()).cast(getattr(pa, t)())
             arr = _apply_present(arr, present)
+        elif t in ("float", "double"):
+            raw, s = _get_stream(blob, streams, "DATA")
+            dtype = "float32" if t == "float" else "float64"
+            vals = decode_floats(raw, s["n"], s["method"], dtype)
+            arr = pa.array(vals, type=pa.float32() if t == "float" else pa.float64())
+            arr = _apply_present(arr, present)
+        elif t.startswith("timestamp"):
+            raw, s = _get_stream(blob, streams, "DATA")
+            vals = decode_int_stream(raw, s["n"], s["codec"], s["signed"])
+            m = re.match(r"timestamp\[(\w+)(?:,\s*tz=(.+))?\]", t)
+            if not m:
+                raise TypeError(f"unparseable timestamp type {t!r}")
+            ts_t = pa.timestamp(m.group(1), m.group(2))
+            arr = pa.array(vals, type=pa.int64()).cast(ts_t)
+            arr = _apply_present(arr, present)
         elif t in ("string", "large_string"):
             if meta["encoding"] == "DICTIONARY":
                 sd = {k: _get_stream(blob, streams, k) for k in ("DATA", "DICTIONARY_DATA", "DICT_LENGTH")}
@@ -219,6 +304,21 @@ def decode_stripe(blob: bytes, footer: dict, columns: list[str] | None = None) -
             lraw, ls = _get_stream(blob, streams, "LENGTH")
             lens = decode_rlev2(lraw, ls["n"], signed=False)
             draw, ds = _get_stream(blob, streams, "DATA")
+            if "method" in ds:  # float child (the DATA stream is a float codec)
+                child = pa.float64() if "double" in t else pa.float32()
+                dtype = "float64" if "double" in t else "float32"
+                flat_f = decode_floats(draw, ds["n"], ds["method"], dtype)
+                offs64 = np.zeros(len(lens) + 1, dtype=np.int64)
+                offs64[1:] = np.cumsum(lens, dtype=np.int64)
+                if offs64[-1] > np.iinfo(np.int32).max:
+                    raise ValueError("stripe list column exceeds int32 offsets; lower stripe rows")
+                arr = pa.ListArray.from_arrays(
+                    pa.array(offs64.astype(np.int32), type=pa.int32()),
+                    pa.array(flat_f, type=child),
+                )
+                arrays.append(_apply_present(arr, present))
+                fields.append(pa.field(name, arrays[-1].type))
+                continue
             # narrow decode: the footer stats prove the child values fit
             # int32, so the dominant stream never widens to int64 (half the
             # decode output traffic) — the stats gate keeps liborc-style

@@ -108,3 +108,82 @@ def test_empty_and_null_token_lists_roundtrip():
     out = decode_stripe(blob, footer)
     assert out.column(1).to_pylist() == [[1, 2, 3], [], None, [7]]
     assert out.column(2).to_pylist() == [3, 0, None, 1]
+
+
+def _bits(arr: pa.Array) -> np.ndarray:
+    np_vals = np.asarray(arr.to_numpy(zero_copy_only=False))
+    return np_vals.view("u4" if np_vals.dtype == np.float32 else "u8")
+
+
+def test_float_double_roundtrip_bit_exact():
+    """float32/float64 columns decode BIT-identical — NaN payload, +/-inf,
+    and -0.0 included (both float methods are lossless byte transforms)."""
+    rng = np.random.RandomState(11)
+    d = rng.normal(100, 3, 4096)
+    d[1], d[2], d[3] = np.nan, np.inf, -0.0
+    f = rng.normal(0, 1, 4096).astype(np.float32)
+    b = pa.record_batch(
+        {"d": pa.array(d, type=pa.float64()), "f": pa.array(f, type=pa.float32())}
+    )
+    blob, footer = encode_stripe(b)
+    out = decode_stripe(blob, footer_from_json(footer_to_json(footer)))
+    for c in ("d", "f"):
+        assert out.column(c).type == b.column(c).type
+        assert np.array_equal(_bits(out.column(c)), _bits(b.column(c)))
+    # NaN in the stream must suppress the min/max stats (conservative pruning)
+    assert footer["columns"]["d"]["stats"]["min"] is None
+    assert footer["columns"]["f"]["stats"]["min"] is not None
+
+
+def test_float_split_beats_raw_on_real_valued_data():
+    """The chooser's cost trial picks byte-stream-split on real-number data
+    and the encoded stream (post-zstd) is smaller than compressed raw."""
+    from orc_spark import chooser
+    from orc_spark.codecs.compression import compress
+    from orc_spark.codecs.floats import encode_floats
+
+    vals = np.random.RandomState(5).normal(1e4, 17.0, 8192)
+    assert chooser.choose_float(vals)["method"] == "split"
+    raw_c = len(compress(encode_floats(vals, "raw"), "zstd"))
+    split_c = len(compress(encode_floats(vals, "split"), "zstd"))
+    assert split_c < raw_c
+
+
+def test_timestamp_roundtrip_and_delta_compression():
+    """timestamp[us] columns ride the int pipeline: values roundtrip exactly
+    (type preserved) and near-arithmetic streams land in ~0 bytes via DELTA."""
+    n = 4096
+    ts = (np.arange(n) * 1_000_003 + 1_700_000_000_000_000).astype("datetime64[us]")
+    nullable = pa.array(
+        [None if i % 9 == 0 else int(ts[i].astype("int64")) for i in range(n)],
+        type=pa.int64(),
+    ).cast(pa.timestamp("us"))
+    b = pa.record_batch(
+        {"ts": pa.array(ts, type=pa.timestamp("us")), "tsn": nullable}
+    )
+    blob, footer = encode_stripe(b)
+    out = decode_stripe(blob, footer_from_json(footer_to_json(footer)))
+    assert out.column("ts").equals(b.column("ts"))
+    assert out.column("tsn").equals(b.column("tsn"))
+    data = [s for s in footer["columns"]["ts"]["streams"] if s["kind"] == "DATA"][0]
+    assert data["clen"] < n // 8  # DELTA collapsed the arithmetic stream
+    # integer epoch stats exist for time-range stripe pruning
+    assert footer["columns"]["ts"]["stats"]["min"] == int(ts[0].astype("int64"))
+
+
+def test_list_float_roundtrip_bit_exact():
+    """list<float> (the embeddings shape): values bit-identical, nulls and
+    empty lists preserved, LENGTH+DATA layout like the token column."""
+    rng = np.random.RandomState(7)
+    rows = [rng.normal(0, 1, 16).astype(np.float32) for _ in range(300)]
+    rows[5] = np.array([], dtype=np.float32)
+    lst = [None if i % 50 == 0 else r.tolist() for i, r in enumerate(rows)]
+    b = pa.record_batch({"emb": pa.array(lst, type=pa.list_(pa.float32()))})
+    blob, footer = encode_stripe(b)
+    out = decode_stripe(blob, footer_from_json(footer_to_json(footer)))
+    got = out.column("emb")
+    assert got.type == pa.list_(pa.float32())
+    assert got.to_pylist() == b.column("emb").to_pylist()
+    flat_a = np.asarray(b.column("emb").drop_null().flatten().to_numpy(zero_copy_only=False))
+    flat_b = np.asarray(got.drop_null().flatten().to_numpy(zero_copy_only=False))
+    assert np.array_equal(flat_a.view("u4"), flat_b.view("u4"))
