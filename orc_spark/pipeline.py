@@ -35,6 +35,7 @@ Scale notes (designed for 10^12 rows / 1000 executors, tested on local[32]):
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
@@ -69,17 +70,30 @@ STRIPE_FILE_SCHEMA = pa.schema(
 DEFAULT_STRIPE_TOKENS = 4_000_000  # ~8 MB encoded per stripe at ~2 B/token
 
 
-def with_pid(df: DataFrame, salt_buckets: int) -> DataFrame:
-    """Logical partition id: explicit salt on (source, doc_id) (BASELINE.json:6)."""
+def with_pid(
+    df: DataFrame,
+    salt_buckets: int,
+    key_col: str = "doc_id",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """Logical partition id: explicit salt on (source, doc_id) (BASELINE.json:6).
+    Generic tables pick their own key/source columns (source_col=None salts
+    on the key alone — the pid prefix is then empty)."""
+    src = F.col(source_col) if source_col else F.lit("")
     return df.withColumn(
         "pid",
         F.concat_ws(
-            "#", F.col("source"), F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets)).cast("string")
+            "#", src, F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets)).cast("string")
         ),
     )
 
 
-def rebalance_by_tokens(dfp: DataFrame, max_pid_tokens: int) -> tuple[DataFrame, dict]:
+def rebalance_by_tokens(
+    dfp: DataFrame,
+    max_pid_tokens: int,
+    key_col: str = "doc_id",
+    weight_col: str | None = "n_tok",
+) -> tuple[DataFrame, dict]:
     """Size-aware rebalance (SURVEY.md §2.2): cap each logical partition's
     token mass. The uniform salt bounds *expected* mass, but an adversarial
     source×bucket (a burst of giant documents hashing together) can still
@@ -95,7 +109,8 @@ def rebalance_by_tokens(dfp: DataFrame, max_pid_tokens: int) -> tuple[DataFrame,
     bound becomes max(cap(1+ε), largest single document) — rows are atomic.
 
     Returns (df with split pids, {pid: n_splits})."""
-    mass = dfp.groupBy("pid").agg(F.sum("n_tok").alias("m")).collect()
+    w = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    mass = dfp.groupBy("pid").agg(w.alias("m")).collect()
     splits = {
         r["pid"]: -(-int(r["m"]) // max_pid_tokens)
         for r in mass
@@ -106,7 +121,7 @@ def rebalance_by_tokens(dfp: DataFrame, max_pid_tokens: int) -> tuple[DataFrame,
     k = F.create_map(
         *[x for pid, n in sorted(splits.items()) for x in (F.lit(pid), F.lit(n))]
     )[F.col("pid")]
-    sub = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), k).cast("string")
+    sub = F.pmod(F.xxhash64(F.col(key_col), F.lit(1)), k).cast("string")
     # sub-buckets use '@', NOT the with_pid '#' separator: a source name that
     # itself contains '#' ("a#1" bucket 2 vs "a" bucket 1 sub 2) must not
     # collide with a split pid, or two logical partitions silently merge and
@@ -123,8 +138,9 @@ def rebalance_by_tokens(dfp: DataFrame, max_pid_tokens: int) -> tuple[DataFrame,
 class _PidWriter:
     """Streams one pid's stripes into its snapshot data file (tmp + rename)."""
 
-    def __init__(self, warehouse_path: str, snapshot: str, pid: str):
+    def __init__(self, warehouse_path: str, snapshot: str, pid: str, key_col: str = "doc_id"):
         self.pid = pid
+        self.key_col = key_col
         self.final = Warehouse(warehouse_path).data_file(pid, snapshot)
         os.makedirs(os.path.dirname(self.final), exist_ok=True)
         self.tmp = self.final + f".inprogress-{uuid.uuid4().hex[:8]}"
@@ -144,10 +160,13 @@ class _PidWriter:
         # pid-only clustering sort (measured at 322M tokens: 7.8s vs 2.4s on
         # 16 cores). Stripe boundaries still follow shuffle arrival order;
         # per-row decode equality is order-independent either way.
-        tbl = tbl.take(pc.sort_indices(tbl.column("doc_id")))
+        tbl = tbl.take(pc.sort_indices(tbl.column(self.key_col)))
         data = tbl.drop_columns(["pid"])
         blob, footer = encode_stripe(data)
-        n_tok = int(footer["columns"].get("tokens", {}).get("stats", {}).get("n_values", 0))
+        if "tokens" in footer["columns"]:
+            n_tok = int(footer["columns"]["tokens"].get("stats", {}).get("n_values", 0))
+        else:
+            n_tok = tbl.num_rows  # generic tables meter throughput in rows
         row = pa.record_batch(
             [
                 pa.array([self.pid]),
@@ -165,8 +184,11 @@ class _PidWriter:
         self.n_rows += tbl.num_rows
         self.n_tokens += n_tok
         self.enc_bytes += len(blob)
-        ids = tbl.column("doc_id")
-        lo, hi = str(ids[0]), str(ids[-1])
+        # native-typed key range (str for doc_id, int for int keys): the
+        # manifest file-pruning range test compares in the key's own order,
+        # so integer keys don't fall into string collation
+        ids = tbl.column(self.key_col)
+        lo, hi = ids[0].as_py(), ids[-1].as_py()
         self.min_doc = lo if self.min_doc is None else min(self.min_doc, lo)
         self.max_doc = hi if self.max_doc is None else max(self.max_doc, hi)
 
@@ -181,15 +203,24 @@ class _PidWriter:
             "n_tokens": self.n_tokens,
             "enc_bytes": self.enc_bytes,
             "encode_s": time.perf_counter() - self.t0,
-            "min_doc_id": self.min_doc or "",
-            "max_doc_id": self.max_doc or "",
+            # non-string keys (int event/vec ids) render via json.dumps so the
+            # string-typed META_SCHEMA row still carries them; file_matches
+            # parses them back with the manifest schema's key type
+            "min_doc_id": self.min_doc if isinstance(self.min_doc, str) else json.dumps(self.min_doc),
+            "max_doc_id": self.max_doc if isinstance(self.max_doc, str) else json.dumps(self.max_doc),
         }
 
 
 MAX_BUFFERED_TOKENS = 16_000_000  # global per-task cap across open pid buffers
 
 
-def _make_encoder(warehouse_path: str, snapshot: str, stripe_tokens: int):
+def _make_encoder(
+    warehouse_path: str,
+    snapshot: str,
+    stripe_tokens: int,
+    key_col: str = "doc_id",
+    weight_col: str | None = "n_tok",
+):
     """Multi-writer partition encoder: rows arrive in ARBITRARY pid order
     (no cluster-wide sort!) — each Arrow batch is clustered by pid locally
     (a ~8k-row Arrow sort, vectorized C++) and appended to that pid's
@@ -224,12 +255,15 @@ def _make_encoder(warehouse_path: str, snapshot: str, stripe_tokens: int):
             bounds = np.nonzero(pids[1:] != pids[:-1])[0] + 1
             starts = np.r_[0, bounds]
             ends = np.r_[bounds, len(pids)]
-            ntoks = np.asarray(batch.column("n_tok"), dtype=np.int64)
+            if weight_col:
+                ntoks = np.asarray(batch.column(weight_col), dtype=np.int64)
+            else:
+                ntoks = np.ones(len(pids), dtype=np.int64)
             csum = np.r_[0, np.cumsum(ntoks)]
             for s, e in zip(starts.tolist(), ends.tolist()):
                 pid = str(pids[s])
                 if pid not in writers:
-                    writers[pid] = _PidWriter(warehouse_path, snapshot, pid)
+                    writers[pid] = _PidWriter(warehouse_path, snapshot, pid, key_col)
                     bufs[pid], buf_tokens[pid] = [], 0
                 bufs[pid].append(batch.slice(s, e - s))
                 seg = int(csum[e] - csum[s])
@@ -258,6 +292,9 @@ def encode_table(
     num_partitions: int | None = None,
     resume: bool = True,
     max_pid_tokens: int | None = None,
+    key_col: str = "doc_id",
+    source_col: str | None = "source",
+    weight_col: str | None = "n_tok",
 ) -> dict:
     """Encode a (doc_id, tokens, n_tok, source) DataFrame into the warehouse;
     returns the committed manifest. Resumable: committed partitions are
@@ -265,12 +302,19 @@ def encode_table(
     `max_pid_tokens` enables the size-aware rebalance: overweight logical
     partitions are split before the (single) shuffle. The split decision runs
     on the FULL input — before the resume filter — so a resumed run derives
-    the same pid names as the killed one."""
+    the same pid names as the killed one.
+
+    Any table encodes through the same path by naming its own layout:
+    `key_col` (stripe sort + manifest min/max range, any orderable type),
+    `source_col` (pid prefix = partition key; None salts on the key alone)
+    and `weight_col` (stripe sizing mass; None weighs every row 1). The
+    layout is recorded in the manifest so decode-side pruning knows which
+    columns the file-level ranges describe."""
     wh = Warehouse(warehouse_path)
     schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    dfp = with_pid(df, salt_buckets)
+    dfp = with_pid(df, salt_buckets, key_col, source_col)
     if max_pid_tokens:
-        dfp, _ = rebalance_by_tokens(dfp, max_pid_tokens)
+        dfp, _ = rebalance_by_tokens(dfp, max_pid_tokens, key_col, weight_col)
 
     committed = wh.committed_pids(snapshot) if resume else set()
     if resume:
@@ -304,13 +348,17 @@ def encode_table(
         # NO cluster-wide sort: the encoder clusters pids per Arrow batch
         # and keeps one writer per pid (see _make_encoder); doc_id order is
         # restored per stripe inside _PidWriter.write_stripe
-        .mapInArrow(_make_encoder(warehouse_path, snapshot, stripe_tokens), META_SCHEMA)
+        .mapInArrow(
+            _make_encoder(warehouse_path, snapshot, stripe_tokens, key_col, weight_col),
+            META_SCHEMA,
+        )
     )
     rows = meta_df.collect()
     partitions = {r["pid"]: r.asDict() for r in rows}
     for p in partitions.values():
         p["tokens_per_s"] = p["n_tokens"] / p["encode_s"] if p["encode_s"] else None
-    return wh.commit(snapshot, partitions, schema)
+    layout = {"key_col": key_col, "source_col": source_col, "weight_col": weight_col}
+    return wh.commit(snapshot, partitions, schema, extra={"layout": layout})
 
 
 _ARROW_TO_SPARK = {
@@ -375,22 +423,36 @@ def _pred_matches_range(pred: tuple, mn, mx) -> bool:
     return any(mn <= v <= mx for v in pred[2])
 
 
-def file_matches(pid: str, part: dict, preds: list[tuple]) -> bool:
+def file_matches(
+    pid: str,
+    part: dict,
+    preds: list[tuple],
+    key_col: str = "doc_id",
+    source_col: str | None = "source",
+    key_parse=None,
+) -> bool:
     """FILE-level pruning over driver-side manifest metadata (the Iceberg
-    manifest-pruning analog): doc_id predicates test the partition's
-    [min_doc_id, max_doc_id] range (stripes are doc_id-sorted, so it is
-    tight); source predicates test the pid's source prefix — pid is
-    source + '#' + bucket[@sub] (with_pid / rebalance_by_tokens), and
-    neither suffix contains '#', so rsplit recovers the source exactly.
+    manifest-pruning analog): key-column (doc_id) predicates test the
+    partition's [min_doc_id, max_doc_id] range (stripes are key-sorted, so
+    it is tight); source-column predicates test the pid's source prefix —
+    pid is source + '#' + bucket[@sub] (with_pid / rebalance_by_tokens),
+    and neither suffix contains '#', so rsplit recovers the source exactly.
     Source pruning is PARTITION-KEY pruning: an equality/IN predicate on
-    source skips every non-matching file without opening it."""
+    source skips every non-matching file without opening it. `key_parse`
+    (e.g. int) restores non-string manifest key ranges to their native
+    order before the range test."""
     src = pid.rsplit("#", 1)[0]
     for p in preds:
         col = p[1]
-        if col == "doc_id":
-            if not _pred_matches_range(p, part["min_doc_id"], part["max_doc_id"]):
+        if col == key_col:
+            mn, mx = part["min_doc_id"], part["max_doc_id"]
+            if key_parse is not None:
+                if mn == "" or mx == "":  # no recorded range: cannot exclude
+                    continue
+                mn, mx = key_parse(mn), key_parse(mx)
+            if not _pred_matches_range(p, mn, mx):
                 return False
-        elif col == "source":
+        elif source_col is not None and col == source_col:
             if not _pred_matches_range(p, src, src):
                 return False
     return True
@@ -421,6 +483,10 @@ def _row_mask(rb: pa.RecordBatch, preds: list[tuple]):
     mask = None
     for p in preds:
         c = rb.column(p[1])
+        if pa.types.is_timestamp(c.type):
+            # timestamp predicates are epoch counts at the column's unit
+            # (the same integers the stripe stats carry)
+            c = c.cast(pa.int64())
         if p[0] == "between":
             m = pc.and_(pc.greater_equal(c, p[2]), pc.less_equal(c, p[3]))
         else:
@@ -485,11 +551,20 @@ def decode_table(
     names = columns or list(schema.keys())
     out_schema = ", ".join(f"{n} {_spark_type_str(schema[n])}" for n in names)
     if preds:
+        layout = (manifest.get("layout") if manifest else None) or {}
+        key_col = layout.get("key_col", "doc_id")
+        src_col = layout.get("source_col", "source")
+        key_parse = (
+            int
+            if _spark_type_str(schema.get(key_col, "string"))
+            in ("tinyint", "smallint", "int", "bigint")
+            else None
+        )
         n_total = len(files)
         files = [
             part["file"]
             for pid, part in manifest["partitions"].items()
-            if file_matches(pid, part, preds)
+            if file_matches(pid, part, preds, key_col, src_col, key_parse)
         ]
         if prune_metrics is not None:
             prune_metrics["files_total"] = n_total

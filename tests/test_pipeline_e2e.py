@@ -9,6 +9,8 @@ import shutil
 import pyarrow.parquet as pq
 import pytest
 
+from pyspark.sql import functions as F
+
 from orc_spark.fixtures import tokens_arrow
 from orc_spark.pipeline import decode_table, encode_table, verify_roundtrip
 from orc_spark.warehouse import Warehouse
@@ -174,3 +176,47 @@ def test_row_digest_distinguishes_null_shapes(spark):
     df2 = spark.createDataFrame([("x", None), (None, "x")], "a string, b string")
     d2 = [r[0] for r in df2.select(row_digest(["a", "b"])).collect()]
     assert d2[0] != d2[1]
+
+
+def test_generic_table_layouts_roundtrip(spark, tmp_path):
+    """Any table encodes through the same pipeline by naming its layout:
+    the events table (int64 key, timestamp/double payload, event_type as
+    partition source) and the embeddings table (list<float> payload, no
+    source) both roundtrip bit-equal, and file pruning works on the int
+    key's native order (not string collation)."""
+    wh = str(tmp_path / "wh")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    m = encode_table(
+        spark, ev, wh, snapshot="ev",
+        key_col="event_id", source_col="event_type", weight_col=None,
+        stripe_tokens=500, salt_buckets=4,
+    )
+    assert m["layout"] == {
+        "key_col": "event_id", "source_col": "event_type", "weight_col": None
+    }
+    dec = decode_table(spark, wh, "ev")
+    assert dec.orderBy("event_id").collect() == ev.orderBy("event_id").collect()
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    encode_table(
+        spark, emb, wh, snapshot="em",
+        key_col="vec_id", source_col=None, weight_col=None,
+        stripe_tokens=200, salt_buckets=2,
+    )
+    dec2 = decode_table(spark, wh, "em")
+    assert dec2.orderBy("vec_id").collect() == emb.orderBy("vec_id").collect()
+
+    # native int-key file pruning: an IN-set of 2 ids must not decode every
+    # file (string collation over int ids would make ranges useless)
+    ids = [r["event_id"] for r in ev.limit(2).collect()]
+    pm = {}
+    got = decode_table(spark, wh, "ev", predicate=[("event_id", ids)], prune_metrics=pm)
+    assert got.count() == 2
+    assert pm["files_pruned"] > 0
+
+    # partition-key pruning on the generic source column
+    etype = ev.first()["event_type"]
+    pm2 = {}
+    got2 = decode_table(spark, wh, "ev", predicate=[("event_type", [etype])], prune_metrics=pm2)
+    assert got2.count() == ev.filter(F.col("event_type") == etype).count()
+    assert pm2["files_pruned"] > 0
