@@ -117,6 +117,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ship(spark)
         return codec_plan_report(spark, sf_dir)
 
+    def _ev(spark, sf_dir):
+        _ship(spark)
+        from orc_spark.generic_tables import events_warehouse_summary
+
+        return events_warehouse_summary(spark, sf_dir)
+
+    def _ev_pruned(spark, sf_dir):
+        _ship(spark)
+        from orc_spark.generic_tables import events_pruned_scan
+
+        return events_pruned_scan(spark, sf_dir)
+
+    def _emb_wh(spark, sf_dir):
+        _ship(spark)
+        from orc_spark.generic_tables import embeddings_warehouse_summary
+
+        return embeddings_warehouse_summary(spark, sf_dir)
+
     def _mm(spark, sf_dir):
         _ship(spark)
         return multimodal_meta(spark, sf_dir)
@@ -147,6 +165,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics THROUGH the warehouse: top-k token histogram computed
         # from the decoded stripes (engine-as-source)
         "vocab_top_tokens": _vocab,
+        # GENERIC tables through the same pipeline (named layouts): events
+        # (timestamp+double payload, event_type partition key) and
+        # embeddings (list<float>) encode->decode->aggregate, hash-gated —
+        # one flipped bit in the float/timestamp paths fails the oracle;
+        # the pruned variant pushes event_type IN-set + ts-range down and
+        # asserts the partition-key file prune fired
+        "events_warehouse": _ev,
+        "events_pruned_scan": _ev_pruned,
+        "embeddings_warehouse": _emb_wh,
         # text analysis
         "corpus_stats": textops.corpus_stats,
         "token_counts": textops.token_counts,
@@ -324,6 +351,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_xor(h) AS BIGINT) AS doc_xor,
                    CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
             FROM t GROUP BY source
+        """,
+        # generic tables through the warehouse: the oracle aggregates RAW
+        # parquet; the Spark side aggregates the DECODED warehouse — value
+        # equality proves the float/timestamp/list<float> encode+decode is
+        # bit-exact. Doubles floor-scale to BIGINT per row before SUM
+        # (cross-engine double SUM is order-dependent); timestamps compare
+        # as epoch micros (both engines run UTC).
+        "events_warehouse": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS value_micros,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+                   CAST(bit_xor(event_id) AS BIGINT) AS id_xor,
+                   CAST(sum(user_id % 1000003) AS BIGINT) AS user_sum
+            FROM events GROUP BY event_type
+        """,
+        "events_pruned_scan": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS value_micros,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+                   CAST(bit_xor(event_id) AS BIGINT) AS id_xor,
+                   CAST(sum(user_id % 1000003) AS BIGINT) AS user_sum
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+              AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705708800000000
+            GROUP BY event_type
+        """,
+        # squared-norm left fold == similarity._dot numerics: any mantissa
+        # bit lost by the float codec shifts norm_sum
+        "embeddings_warehouse": """
+            WITH t AS (
+              SELECT label, vec_id,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+                        for i in range(1, len(embedding)+1)]),
+                       (x,y) -> x+y) AS nrm
+              FROM embeddings)
+            SELECT label,
+                   count(*) AS n_vecs,
+                   CAST(bit_xor(vec_id) AS BIGINT) AS id_xor,
+                   CAST(sum(CAST(floor(nrm*1000000) AS BIGINT)) AS BIGINT) AS norm_sum
+            FROM t GROUP BY label
         """,
         "vocab_top_tokens": f"""
             WITH tok AS (

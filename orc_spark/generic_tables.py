@@ -1,0 +1,152 @@
+"""Gate queries proving GENERIC tables flow through the engine.
+
+The canonical corpus is (doc_id, tokens, n_tok, source) — but a user of an
+ORC-style engine brings event logs (timestamps, doubles) and embedding
+tables (float vectors) too. These queries encode the sandbox's `events` and
+`embeddings` parquet tables into a temp warehouse through the SAME
+single-shuffle pipeline (pipeline.encode_table with a named layout), decode
+them back, and aggregate the decoded rows; the DuckDB oracles compute the
+identical aggregates from the raw parquet. A single bit lost anywhere in the
+float / timestamp / list<float> encode→decode path flips the value hash.
+
+Numeric discipline (memory: oracle-parity rules): no cross-engine double
+SUMs — every double folds to BIGINT per row (floor-scale) before
+aggregation; timestamps compare as epoch micros (both engines run UTC);
+dot products are left folds in double, bit-identical to DuckDB's
+list_reduce(list_prepend(0.0, ...)).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import decode_table, encode_table
+
+# 2024-01-10 / 2024-01-20 00:00 UTC — inside the events fixture's Jan range
+TS_LO_US = 1_704_844_800_000_000
+TS_HI_US = 1_705_708_800_000_000
+
+
+def _through_warehouse(spark, df, snapshot, consume, **layout):
+    """Encode df into a temp warehouse, run `consume` on the decoded table,
+    and return the MATERIALIZED result (the warehouse is deleted on exit, so
+    a lazy plan over it must not escape)."""
+    wh = tempfile.mkdtemp(prefix="orc_spark_gwh_")
+    try:
+        encode_table(spark, df, wh, snapshot=snapshot, **layout)
+        out = consume(decode_table(spark, wh, snapshot))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def _events_rollup(dec: DataFrame) -> DataFrame:
+    return dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        # per-row floor-scale BEFORE the sum: double SUM order differs
+        # across engines, integer SUM does not
+        F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("value_micros"),
+        F.min(F.unix_micros(F.col("ts"))).cast("long").alias("min_ts_us"),
+        F.max(F.unix_micros(F.col("ts"))).cast("long").alias("max_ts_us"),
+        F.expr("bit_xor(event_id)").cast("long").alias("id_xor"),
+        F.sum(F.col("user_id") % 1_000_003).cast("long").alias("user_sum"),
+    )
+
+
+def events_warehouse_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 4,
+    stripe_tokens: int = 4_000,
+) -> DataFrame:
+    """events table (int64 key, timestamp + double payload) through the
+    warehouse: encode with layout (event_id / event_type / unweighted),
+    decode, roll up per event_type. Exercises the timestamp DELTA path,
+    the double raw-vs-split cost trial, and string dictionary — all
+    oracle-hash-gated."""
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _through_warehouse(
+        spark, ev, "gate_events", _events_rollup,
+        key_col="event_id", source_col="event_type", weight_col=None,
+        salt_buckets=salt_buckets, stripe_tokens=stripe_tokens,
+    )
+
+
+def events_pruned_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 4,
+    stripe_tokens: int = 4_000,
+) -> DataFrame:
+    """Composite pushdown on a generic table: event_type IN-set (partition-
+    key file pruning — event_type is the pid prefix) AND a timestamp range
+    (epoch-micro stripe stats). The oracle filters raw parquet, so pruning
+    must be exactly transparent; the file prune is asserted to actually
+    fire."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pred = [
+        ("event_type", ["click", "purchase"]),
+        ("ts", TS_LO_US, TS_HI_US),
+    ]
+    wh = tempfile.mkdtemp(prefix="orc_spark_gwh_")
+    try:
+        encode_table(
+            spark, ev, wh, snapshot="gate_events_pruned",
+            key_col="event_id", source_col="event_type", weight_col=None,
+            salt_buckets=salt_buckets, stripe_tokens=stripe_tokens,
+        )
+        metrics: dict = {}
+        dec = decode_table(
+            spark, wh, "gate_events_pruned", predicate=pred, prune_metrics=metrics
+        )
+        out = _events_rollup(dec)
+        out = spark.createDataFrame(out.collect(), out.schema)
+        if not metrics.get("files_pruned"):
+            raise AssertionError(f"event_type file pruning did not fire: {metrics}")
+        return out
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def embeddings_warehouse_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 4,
+    stripe_tokens: int = 2_000,
+) -> DataFrame:
+    """embeddings table (list<float> payload, keyed on vec_id, no source)
+    through the warehouse: per label, count + bit_xor of ids + the summed
+    floor-scaled squared norm of every decoded vector. The norm is a left
+    fold in double (same numerics as similarity._dot / the DuckDB
+    list_reduce oracle), so ANY flipped mantissa bit in the float
+    encode→decode path shifts norm_sum and fails the hash."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def rollup(dec: DataFrame) -> DataFrame:
+        norm = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("embedding"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        return dec.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr("bit_xor(vec_id)").cast("long").alias("id_xor"),
+            F.sum(F.floor(norm * 1_000_000).cast("long")).cast("long").alias("norm_sum"),
+        )
+
+    return _through_warehouse(
+        spark, emb, "gate_embeddings", rollup,
+        key_col="vec_id", source_col=None, weight_col=None,
+        salt_buckets=salt_buckets, stripe_tokens=stripe_tokens,
+    )
