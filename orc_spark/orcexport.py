@@ -64,7 +64,10 @@ def compression_frame(data: bytes, codec: str) -> bytes:
 # Type.Kind enum values ([ORCv1])
 _LONG = 4
 _INT = 3
+_FLOAT = 5
+_DOUBLE = 6
 _STRING = 7
+_TIMESTAMP = 9
 _LIST = 10
 _STRUCT = 12
 
@@ -75,6 +78,7 @@ _DICTIONARY_V2 = 3
 _DATA = 1  # Stream.Kind
 _LENGTH = 2
 _DICTIONARY_DATA = 3
+_SECONDARY = 5
 
 
 def _uv(out: bytearray, v: int) -> None:
@@ -235,9 +239,28 @@ def present_stream(valid) -> bytes:
     return byte_rle(bits.tobytes())
 
 
+def _format_nanos(nanos):
+    """Vectorized [ORCv1] SECONDARY nano formatting, probe-confirmed against
+    liborc's own writer (123456000 -> 123456<<3|2, 100000000 -> 1<<3|7):
+    0 -> 0; a value with z >= 2 trailing DECIMAL zeros -> (value/10^z) << 3
+    | (z-1) (the reader multiplies by 10^(code+1)); else value << 3.
+    (Micros-sourced nanos always have z >= 3 or are 0.)"""
+    import numpy as np
+
+    z = np.zeros(len(nanos), dtype=np.int64)
+    for k in range(1, 9):
+        z += nanos % (10**k) == 0
+    nz = nanos != 0
+    usez = nz & (z >= 2)
+    div = np.power(10, np.where(usez, z, 0))
+    enc = np.where(usez, ((nanos // div) << 3) | (z - 1), nanos << 3)
+    return np.where(nz, enc, 0)
+
+
 def _batch_stripe(batch) -> tuple[list[bytes], list[tuple[int, int, bytes]], list]:
-    """Encode one RecordBatch (columns: string | int32/int64 | list<int32>;
-    nulls OK except inside list elements) into ORC stripe parts
+    """Encode one RecordBatch (columns: string | int32/int64 | float/double |
+    timestamp | list<int32> | list<float/double>; nulls OK except inside
+    list elements) into ORC stripe parts
     (types, streams, encodings). Columns re-encode from decoded values with
     liborc's exact stream conventions (signed zigzag RLEv2 int DATA,
     unsigned LENGTH streams, direct strings, Byte-RLE PRESENT bitmaps), so
@@ -269,6 +292,34 @@ def _batch_stripe(batch) -> tuple[list[bytes], list[tuple[int, int, bytes]], lis
             streams.append((cid, _DATA, encode_rlev2(vals, signed=True)))
             encodings.append(_DIRECT_V2)
             next_id += 1
+        elif pa.types.is_timestamp(t):
+            # [ORCv1] TIMESTAMP = signed seconds from 2015-01-01 UTC (DATA)
+            # + nanos with the trailing-decimal-zero trick (SECONDARY):
+            # nanos with z>=2 trailing zeros store value/10^z with z-2 in
+            # the 3 low bits. floor-division keeps nanos in [0, 1e9) for
+            # pre-2015 values too.
+            us = np.asarray(col.cast(pa.timestamp("us")).cast(pa.int64()), dtype=np.int64)
+            secs = np.floor_divide(us, 1_000_000) - 1_420_070_400
+            nanos = np.mod(us, 1_000_000) * 1000
+            types.append(_type(_TIMESTAMP))
+            streams.append((cid, _DATA, encode_rlev2(secs, signed=True)))
+            streams.append((cid, _SECONDARY, encode_rlev2(_format_nanos(nanos), signed=False)))
+            encodings.append(_DIRECT_V2)
+            next_id += 1
+        elif pa.types.is_floating(t):
+            # [ORCv1] FLOAT/DOUBLE DATA = raw little-endian IEEE-754 —
+            # bitwise lossless, so liborc reads back the exact values
+            if t.bit_width < 32:
+                raise TypeError(f"ORC export: half-precision unsupported ({name!r})")
+            wide = t.bit_width == 64
+            vals = np.ascontiguousarray(
+                col.to_numpy(zero_copy_only=False),
+                dtype="<f8" if wide else "<f4",
+            )
+            types.append(_type(_DOUBLE if wide else _FLOAT))
+            streams.append((cid, _DATA, vals.tobytes()))
+            encodings.append(_DIRECT)
+            next_id += 1
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             offs, data = to_offsets_bytes(col)
             types.append(_type(_STRING))
@@ -277,19 +328,32 @@ def _batch_stripe(batch) -> tuple[list[bytes], list[tuple[int, int, bytes]], lis
             encodings.append(_DIRECT_V2)
             next_id += 1
         elif pa.types.is_list(t) or pa.types.is_large_list(t):
-            col = col.cast(pa.list_(pa.int32()))
             if col.flatten().null_count:
                 raise ValueError(
                     f"ORC export: null list ELEMENTS unsupported ({name!r})"
                 )
             lens = np.asarray(col.value_lengths(), dtype=np.int64)
-            flat = np.asarray(col.flatten(), dtype=np.int64)
-            types.append(_type(_LIST, [cid + 1]))
-            types.append(_type(_INT))
-            streams.append((cid, _LENGTH, encode_rlev2(lens, signed=False)))
-            streams.append((cid + 1, _DATA, encode_rlev2(flat, signed=True)))
-            encodings.extend([_DIRECT_V2, _DIRECT_V2])
-            next_id += 2
+            if pa.types.is_floating(t.value_type):
+                wide = t.value_type.bit_width == 64
+                flat_f = np.ascontiguousarray(
+                    col.flatten().to_numpy(zero_copy_only=False),
+                    dtype="<f8" if wide else "<f4",
+                )
+                types.append(_type(_LIST, [cid + 1]))
+                types.append(_type(_DOUBLE if wide else _FLOAT))
+                streams.append((cid, _LENGTH, encode_rlev2(lens, signed=False)))
+                streams.append((cid + 1, _DATA, flat_f.tobytes()))
+                encodings.extend([_DIRECT_V2, _DIRECT])
+                next_id += 2
+            else:
+                col = col.cast(pa.list_(pa.int32()))
+                flat = np.asarray(col.flatten(), dtype=np.int64)
+                types.append(_type(_LIST, [cid + 1]))
+                types.append(_type(_INT))
+                streams.append((cid, _LENGTH, encode_rlev2(lens, signed=False)))
+                streams.append((cid + 1, _DATA, encode_rlev2(flat, signed=True)))
+                encodings.extend([_DIRECT_V2, _DIRECT_V2])
+                next_id += 2
         else:
             raise TypeError(f"unsupported ORC export type {t} for {name!r}")
     types[0] = _type_struct(subtypes, list(batch.schema.names))

@@ -267,3 +267,75 @@ def test_liborc_reads_our_compressed_multichunk(tmp_path):
     assert np.array_equal(np.asarray(t.column("noise")), noise)
     assert np.array_equal(np.asarray(t.column("runs")), runs)
     assert t.column("s").to_pylist() == words
+
+
+def test_liborc_reads_our_float_double_timestamp(tmp_path):
+    """The reference reader decodes our FLOAT/DOUBLE (raw IEEE LE) and
+    TIMESTAMP (seconds-from-2015 + trailing-zero nanos) streams bit-exactly,
+    including NaN/inf/-0.0, nulls, pre-2015 and epoch-0 instants."""
+    import pyarrow as pa
+
+    from orc_spark.orcexport import write_batch_file
+
+    rng = np.random.RandomState(3)
+    n = 1000
+    d = rng.normal(50, 9, n)
+    d[5], d[6], d[7] = np.nan, np.inf, -0.0
+    us = np.arange(n, dtype=np.int64) * 1_000_003 + 1_700_000_000_000_000
+    us[0] = 1_420_070_400_000_000  # the ORC timestamp epoch itself
+    us[1] = 1_420_070_399_999_999  # 1us before it (negative seconds + nanos)
+    us[2] = 999_999_123_456        # 1970s
+    us[3] = 0
+    batch = pa.record_batch(
+        {
+            "d": pa.array(d, type=pa.float64()),
+            "f": pa.array(rng.normal(0, 1, n).astype(np.float32), type=pa.float32()),
+            "ts": pa.array(us, type=pa.int64()).cast(pa.timestamp("us")),
+            "dn": pa.array(
+                [None if i % 9 == 0 else i * 0.25 for i in range(n)], type=pa.float64()
+            ),
+            "emb": pa.array(
+                [rng.normal(0, 1, 8).astype(np.float32).tolist() for _ in range(n)],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    f = str(tmp_path / "newtypes.orc")
+    write_batch_file(f, batch)
+    got = paorc.ORCFile(f).read()
+    for name in ("d", "f"):
+        a = np.asarray(batch.column(name).to_numpy(zero_copy_only=False))
+        b = np.asarray(got.column(name).combine_chunks().to_numpy(zero_copy_only=False))
+        w = "u8" if a.dtype == np.float64 else "u4"
+        assert np.array_equal(a.view(w), b.view(w)), name
+    ns = got.column("ts").combine_chunks().cast(pa.int64()).to_pylist()
+    assert ns == [x * 1000 for x in us.tolist()]
+    assert got.column("dn").combine_chunks().to_pylist() == batch.column("dn").to_pylist()
+    assert got.column("emb").combine_chunks().to_pylist() == batch.column("emb").to_pylist()
+
+
+def test_format_nanos_matches_liborc_writer(tmp_path):
+    """Cross-check our SECONDARY nano formatting against what liborc's own
+    writer emits for the same instants (probe-derived code = zeros-1)."""
+    import pyarrow as pa
+
+    from orc_spark import orcmeta
+    from orc_spark.codecs.rlev2 import decode_rlev2
+    from orc_spark.orcexport import _format_nanos
+
+    vals = [
+        1_700_000_000_123_456,
+        1_700_000_000_120_000,
+        1_700_000_000_000_000,
+        1_700_000_000_100_000,
+        1_420_070_399_999_999,
+    ]
+    ts = pa.array(vals, type=pa.int64()).cast(pa.timestamp("us"))
+    ref = str(tmp_path / "ref.orc")
+    paorc.write_table(pa.table({"ts": ts}), ref, compression="uncompressed")
+    st = orcmeta.parse(ref)[0]
+    theirs = decode_rlev2(
+        orcmeta.stream_bytes(ref, st, 1, "SECONDARY"), len(vals), signed=False
+    )
+    nanos = (np.asarray(vals, dtype=np.int64) % 1_000_000) * 1000
+    assert np.array_equal(_format_nanos(nanos), theirs)

@@ -130,3 +130,31 @@ def test_two_readers_agree_on_fuzzed_compressed_files(spark, tmp_path):
             [(r["v"], r["s"], tuple(r["tokens"])) for r in got],
             key=lambda t: (str(t[0]), str(t[1]), t[2]),
         )
+
+
+def test_export_generic_events_warehouse(spark, tmp_path):
+    """A generic-layout warehouse (events: int64 key, timestamp + double
+    payload) exports to standalone ORC that BOTH reference readers consume
+    row-identical to the engine's own decode."""
+    wh, out = str(tmp_path / "wh"), str(tmp_path / "orc")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    encode_table(
+        spark, ev, wh, snapshot="ev",
+        key_col="event_id", source_col="event_type", weight_col=None,
+        salt_buckets=2, stripe_tokens=300,
+    )
+    export_orc(spark, wh, out, snapshot="ev").collect()
+
+    def key(r):
+        return (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"], r["props"])
+
+    expect = sorted(key(r) for r in decode_table(spark, wh, "ev").collect())
+    got_spark = sorted(key(r) for r in spark.read.orc(out + "/*.orc").collect())
+    assert got_spark == expect
+    rows = []
+    for f in sorted(glob.glob(out + "/*.orc")):
+        t = paorc.ORCFile(f).read()
+        for r in t.to_pylist():
+            rows.append((r["event_id"], r["ts"].replace(tzinfo=None), r["user_id"],
+                         r["event_type"], r["value"], r["props"]))
+    assert sorted(rows) == expect
