@@ -105,6 +105,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             require_file_pruning=True,
         )
 
+    def _point_lookup(spark, sf_dir):
+        _ship(spark)
+        # doc_id IN-set point lookup: the salt anti-clusters ids, so key
+        # RANGES exclude almost nothing — the sidecar key blooms are what
+        # skip the non-matching files (require_bloom_pruning asserts they
+        # actually did; pruning transparency is hash-gated by the oracle)
+        return pruned_scan_summary(
+            spark,
+            sf_dir,
+            predicate=("doc_id", ["7", "11", "23"]),
+            require_bloom_pruning=True,
+        )
+
     def _export(spark, sf_dir):
         _ship(spark)
         return orc_export_summary(spark, sf_dir)
@@ -157,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transparent
         "pruned_scan": _pruned,
         "pruned_scan_ids": _pruned_ids,
+        "point_lookup": _point_lookup,
         "pruned_scan_multi": _pruned_multi,
         # interchange sink: encode -> export as standalone ORC files -> read
         # back with SPARK'S OWN ORC READER (orc-core) -> aggregates; the
@@ -445,6 +459,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_xor(h) AS BIGINT) AS doc_xor,
                    CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
             FROM t WHERE doc_id BETWEEN '1' AND '2~' GROUP BY source
+        """,
+        # IN-set point lookup: bloom pruning must be exactly transparent
+        "point_lookup": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor(h) AS BIGINT) AS doc_xor,
+                   CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
+            FROM t WHERE doc_id IN ('7', '11', '23') GROUP BY source
         """,
         "corpus_stats": """
             SELECT source,

@@ -229,6 +229,7 @@ def pruned_scan_summary(
     salt_buckets: int = 8,
     stripe_tokens: int = 2_000_000,
     require_file_pruning: bool = False,
+    require_bloom_pruning: bool = False,
 ) -> DataFrame:
     """Predicate-pushdown gate: encode the derived tokens table, decode it
     back with a pushed predicate (file-level manifest prune + stripe-level
@@ -238,11 +239,13 @@ def pruned_scan_summary(
     re-derived tokens table directly, so a pruning bug that drops or leaks
     a single row anywhere flips the value hash. Registered three times in
     the driver contract: `pruned_scan` (int stats path, n_tok),
-    `pruned_scan_ids` (string path: doc_id manifest ranges), and
+    `pruned_scan_ids` (string path: doc_id manifest ranges),
     `pruned_scan_multi` (conjunction: source IN-set × n_tok between — the
     composite search-argument path, with `require_file_pruning` asserting
     the manifest prune actually removed files, so the gate can't silently
-    pass by decoding everything)."""
+    pass by decoding everything), and `point_lookup` (doc_id IN-set — the
+    salt makes key ranges useless there, so `require_bloom_pruning`
+    asserts the sidecar key blooms skipped files)."""
 
     def consume(wh):
         metrics: dict = {}
@@ -254,6 +257,10 @@ def pruned_scan_summary(
         if require_file_pruning and not metrics.get("files_pruned"):
             raise AssertionError(
                 f"file-level pruning did not fire: {metrics}"
+            )
+        if require_bloom_pruning and not metrics.get("files_bloom_pruned"):
+            raise AssertionError(
+                f"file-level BLOOM pruning did not fire: {metrics}"
             )
         return out
 

@@ -47,6 +47,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .codecs import bloom as bloomc
 from .stripe import decode_stripe, encode_stripe, footer_from_json, footer_to_json
 from .warehouse import Warehouse
 
@@ -151,7 +152,23 @@ class _PidWriter:
         self.enc_bytes = 0
         self.min_doc = None
         self.max_doc = None
+        # file-level key bloom (ORC BLOOM_FILTER analog, puffin-style
+        # sidecar): fixed m so worker memory stays O(1) per writer; readers
+        # ignore it if over-full (bloom_from_meta checks saturation)
+        self.file_bloom = np.zeros(bloomc.FILE_BLOOM_BITS // 8, dtype=np.uint8)
+        self.bloom_n = 0
         self.t0 = time.perf_counter()
+
+    def _key_hashes(self, ids: pa.Array):
+        """Vectorized bloom double-hashes of a stripe's key values; None for
+        key types without a bloom hasher (float keys make no sense anyway)."""
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type):
+            return bloomc.hash_pairs_str_array(ids)
+        if pa.types.is_integer(ids.type):
+            return bloomc.hash_pairs_int(ids.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return None
 
     def write_stripe(self, tbl: pa.Table) -> None:
         # deterministic stripe CONTENT: order rows by doc_id here (vectorized
@@ -163,6 +180,19 @@ class _PidWriter:
         tbl = tbl.take(pc.sort_indices(tbl.column(self.key_col)))
         data = tbl.drop_columns(["pid"])
         blob, footer = encode_stripe(data)
+        # key bloom: one vectorized hash pass feeds BOTH the stripe-level
+        # bloom (stripe footer stats, sized to this stripe's rows) and the
+        # file-level bloom (OR-accumulated, written as a sidecar at close)
+        hp = self._key_hashes(tbl.column(self.key_col))
+        if hp is not None:
+            h1, h2 = hp
+            stats = footer["columns"][self.key_col].setdefault("stats", {})
+            stats["bloom"] = bloomc.bloom_to_meta(
+                bloomc.bloom_build(h1, h2, bloomc.stripe_bloom_bits(len(h1))),
+                len(h1),
+            )
+            bloomc.bloom_insert(self.file_bloom, h1, h2)
+            self.bloom_n += len(h1)
         if "tokens" in footer["columns"]:
             n_tok = int(footer["columns"]["tokens"].get("stats", {}).get("n_values", 0))
         else:
@@ -194,6 +224,20 @@ class _PidWriter:
 
     def close(self) -> dict:
         self.writer.close()
+        if self.bloom_n:
+            # puffin-style sidecar, written BEFORE the data file becomes
+            # visible: a committed data file implies its sidecar exists (a
+            # crash in between leaves a harmless orphan sidecar). The
+            # manifest stays O(200 bytes)/partition; planners read sidecars
+            # only for files that survive range pruning.
+            side_tmp = self.final + f".bloom.inprogress-{uuid.uuid4().hex[:8]}"
+            with open(side_tmp, "w") as fh:
+                json.dump(
+                    {"column": self.key_col,
+                     **bloomc.bloom_to_meta(self.file_bloom, self.bloom_n)},
+                    fh,
+                )
+            os.replace(side_tmp, self.final + ".bloom.json")
         os.replace(self.tmp, self.final)  # atomic: file is complete or absent
         return {
             "pid": self.pid,
@@ -243,7 +287,26 @@ def _make_encoder(
         def flush(pid: str) -> None:
             nonlocal total_buffered
             if bufs[pid]:
-                writers[pid].write_stripe(pa.Table.from_batches(bufs[pid]))
+                # split the buffer at stripe_tokens boundaries so stripe
+                # size has a UNIFORM upper bound (stripe_tokens + one row)
+                # even when a single Arrow batch delivers a multiple of the
+                # target — decode-side worker memory is bounded by stripe
+                # size, so this must not scale with batch luck
+                tbl = pa.Table.from_batches(bufs[pid])
+                if weight_col:
+                    wt = np.asarray(tbl.column(weight_col), dtype=np.int64)
+                else:
+                    wt = np.ones(tbl.num_rows, dtype=np.int64)
+                csum = np.cumsum(wt)
+                start = 0
+                while start < tbl.num_rows:
+                    base = int(csum[start - 1]) if start else 0
+                    end = min(
+                        int(np.searchsorted(csum, base + stripe_tokens, side="left")) + 1,
+                        tbl.num_rows,
+                    )
+                    writers[pid].write_stripe(tbl.slice(start, end - start))
+                    start = end
                 total_buffered -= buf_tokens[pid]
                 bufs[pid], buf_tokens[pid] = [], 0
 
@@ -477,6 +540,20 @@ def stripe_matches_pred(footer: dict, pred: tuple) -> bool:
     return _pred_matches_range(pred, mn, mx)
 
 
+def stripe_bloom_matches(footer: dict, pred: tuple) -> bool:
+    """Stripe-level bloom test for an IN-set predicate (ORC BLOOM_FILTER
+    analog): can ANY of the probe values be in this stripe? Conservative —
+    columns without a bloom in their footer stats always match."""
+    meta = footer["columns"].get(pred[1])
+    if meta is None:
+        return True
+    bl = (meta.get("stats") or {}).get("bloom")
+    if not bl:
+        return True
+    is_str = footer["schema"].get(pred[1]) in ("string", "large_string")
+    return bloomc.meta_might_contain(bl, pred[2], is_str)
+
+
 def _row_mask(rb: pa.RecordBatch, preds: list[tuple]):
     """Exact row-level filter mask: AND of all conjuncts (arrow compute,
     no Python per row)."""
@@ -569,14 +646,42 @@ def decode_table(
         if prune_metrics is not None:
             prune_metrics["files_total"] = n_total
             prune_metrics["files_pruned"] = n_total - len(files)
+        # FILE-level bloom prune (planning-time, like Iceberg puffin stats):
+        # for IN-set predicates on the key column, test each surviving
+        # file's sidecar bloom — the salt makes key RANGES too wide to
+        # exclude anything, so this is what makes point lookups skip files.
+        # Only files that survived range pruning pay the sidecar read.
+        in_key = [p for p in preds if p[0] == "in" and p[1] == key_col]
+        if in_key and files:
+            key_is_str = key_parse is None
+            survivors = []
+            for f in files:
+                keep = True
+                try:
+                    with open(f + ".bloom.json") as fh:
+                        meta = json.load(fh)
+                    if meta.get("column") == key_col:
+                        keep = all(
+                            bloomc.meta_might_contain(meta, p[2], key_is_str)
+                            for p in in_key
+                        )
+                except (OSError, ValueError):
+                    pass  # no/unreadable sidecar: cannot exclude
+                if keep:
+                    survivors.append(f)
+            if prune_metrics is not None:
+                prune_metrics["files_bloom_pruned"] = len(files) - len(survivors)
+            files = survivors
         if not files:  # every partition pruned: empty result, no job
             return spark.createDataFrame([], out_schema)
     if prune_metrics is not None:
         sc = spark.sparkContext
         prune_metrics["stripes_seen"] = sc.accumulator(0)
         prune_metrics["stripes_skipped"] = sc.accumulator(0)
+        prune_metrics["stripes_bloom_skipped"] = sc.accumulator(0)
     acc_seen = (prune_metrics or {}).get("stripes_seen")
     acc_skip = (prune_metrics or {}).get("stripes_skipped")
+    acc_bloom = (prune_metrics or {}).get("stripes_bloom_skipped")
     # predicate columns must be decoded to filter rows; drop them after if
     # the caller did not ask for them
     pcols = [p[1] for p in preds]
@@ -595,6 +700,19 @@ def decode_table(
                 ):
                     if acc_skip is not None:
                         acc_skip.add(1)
+                    continue
+                # STRIPE-level bloom: range stats passed, but an IN-set may
+                # still miss every key in this stripe — tested before any
+                # stream of the blob is decompressed
+                if preds and not all(
+                    stripe_bloom_matches(footer, p)
+                    for p in preds
+                    if p[0] == "in"
+                ):
+                    if acc_skip is not None:
+                        acc_skip.add(1)
+                    if acc_bloom is not None:
+                        acc_bloom.add(1)
                     continue
                 rb = decode_stripe(
                     blobs[i].as_buffer(), footer, columns=read_cols

@@ -156,6 +156,13 @@ def _encode_string_column(w: _BlobWriter, name: str, arr: pa.Array, streams: lis
         streams.append(w.add(name, "DATA", parts["DATA"], {"fsst": plan["fsst"]}))
         col_meta.update(encoding="FSST" if plan["fsst"] else "DIRECT")
     col_meta["stats"] = {"n_distinct": int(n_distinct), "bytes": int(len(data))}
+    if len(arr) and not arr.null_count:
+        # UTF-8 binary order == codepoint order, so these bounds are
+        # consistent with both the arrow row filter and Python str compare —
+        # they give string columns stripe-level range pruning
+        mm = pc.min_max(arr)
+        col_meta["stats"]["min"] = mm["min"].as_py()
+        col_meta["stats"]["max"] = mm["max"].as_py()
 
 
 def _encode_list_column(w: _BlobWriter, name: str, arr: pa.Array, streams: list, col_meta: dict):
