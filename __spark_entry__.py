@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from orc_spark import relational, similarity, textops
     from orc_spark.flagship import (
         codec_plan_report,
+        dsv2_scan_summary,
         encode_roundtrip_summary,
         orc_export_summary,
         pruned_scan_summary,
@@ -117,6 +118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             predicate=("doc_id", ["7", "11", "23"]),
             require_bloom_pruning=True,
         )
+
+    def _dsv2(spark, sf_dir):
+        _ship(spark)
+        # the warehouse as a first-class Spark format: Catalyst filters
+        # reach the engine's three prune levels via pushFilters
+        return dsv2_scan_summary(spark, sf_dir)
 
     def _export(spark, sf_dir):
         _ship(spark)
@@ -171,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_scan": _pruned,
         "pruned_scan_ids": _pruned_ids,
         "point_lookup": _point_lookup,
+        "dsv2_scan": _dsv2,
         "pruned_scan_multi": _pruned_multi,
         # interchange sink: encode -> export as standalone ORC files -> read
         # back with SPARK'S OWN ORC READER (orc-core) -> aggregates; the
@@ -475,6 +483,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_xor(h) AS BIGINT) AS doc_xor,
                    CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
             FROM t WHERE doc_id IN ('7', '11', '23') GROUP BY source
+        """,
+        # data-source-format scan: Catalyst filters pushed into the engine
+        "dsv2_scan": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor(h) AS BIGINT) AS doc_xor,
+                   CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
+            FROM t
+            WHERE source >= 'src3' AND len(toks) BETWEEN 30 AND 70
+            GROUP BY source
         """,
         "corpus_stats": """
             SELECT source,

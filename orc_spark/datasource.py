@@ -1,0 +1,423 @@
+"""`tokstripe` — the warehouse as a first-class Spark format via the Python
+Data Source API (pyspark >= 4.1, `pyspark.sql.datasource`).
+
+    from orc_spark.datasource import register
+    register(spark)
+
+    df = (spark.read.format("tokstripe")
+          .option("path", warehouse).option("snapshot", "snap1").load()
+          .where(F.col("doc_id").isin("7", "11")))      # pushed down
+
+    (df2.write.format("tokstripe")
+        .option("path", warehouse).option("snapshot", "snap2").save())
+
+Read path — Catalyst's filter pushdown reaches the engine's three prune
+levels through `DataSourceReader.pushFilters`:
+  - planning time (driver): accepted filters run the manifest range prune +
+    sidecar key-bloom prune (pipeline.plan_scan_files), so pruned files
+    never become input partitions — Spark schedules NO task for them;
+  - one `InputPartition` per surviving data file; `read()` streams the
+    file's stripes through the shared decode generator
+    (pipeline.decode_blob_batches): stripe-stats skip, stripe-bloom skip,
+    then the exact arrow row filter — yielding Arrow RecordBatches straight
+    into Spark's arrow ingestion;
+  - filters fully handled here (EqualTo / In / >= / <= on scalar
+    non-timestamp columns) are consumed, so Spark does not re-evaluate
+    them; strict < / > are used as conservative inclusive PRUNE HINTS and
+    returned to Spark for the exact residual; everything else is returned
+    untouched. Timestamp filters are not pushed (Catalyst hands them over
+    as datetimes whose tz interpretation differs from the engine's
+    epoch-micro stats; the native decode_table predicate API takes micros).
+  - column pruning: pass an explicit narrower `.schema(...)` and only those
+    columns' streams are decompressed (the Python DS API does not forward
+    Catalyst's column pruning, so the full-schema default decodes all
+    columns; project with .schema for stream-level pruning).
+
+Write path — executor tasks stream stripes into per-(pid, task) data files
+with the SAME tmp+atomic-rename writers the pipeline uses (`_PidWriter`:
+stripe split at stripe_tokens, key-sorted stripe content, stripe + sidecar
+blooms), and the driver commits the collected partition metadata as one
+atomic manifest (`DataSourceWriter.commit`) — Iceberg-style: data files are
+invisible until the manifest rename. A failed job aborts by sweeping
+in-progress temp files; already-renamed files are harmless orphans outside
+the manifest. The writer does NOT reshuffle (Spark's DSv2 Python API cannot
+require a distribution): rows are bucketed into pids per incoming batch, so
+pre-`repartition(source, key)` upstream for one-file-per-pid layout; without
+it each task writes its own pid@wN files (more, smaller files — same
+correctness, metadata still O(#files)).
+
+Streaming — `writeStream.format("tokstripe")` gives exactly-once micro-batch
+encode: each task stages files under a per-invocation unique snapshot name,
+and `commit(messages, batchId)` publishes them as snapshot
+`<snapshot>-e<batchId>`; a replayed epoch (driver restart) detects the
+already-committed batch manifest and DELETES its re-staged files instead of
+committing twice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamArrowWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TokstripeDataSource)
+
+
+class TokstripeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tokstripe"
+
+    def _warehouse(self):
+        from .warehouse import Warehouse
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("tokstripe requires .option('path', <warehouse dir>)")
+        return Warehouse(path)
+
+    def schema(self):
+        from .pipeline import _spark_type_str
+
+        wh = self._warehouse()
+        snapshot = self.options.get("snapshot") or wh.current_snapshot_id()
+        manifest = wh.read_manifest(snapshot) if snapshot else None
+        if not manifest:
+            raise ValueError(
+                f"no committed snapshot {snapshot!r} under {wh.path!r}"
+            )
+        return ", ".join(
+            f"{n} {_spark_type_str(t)}" for n, t in manifest["schema"].items()
+        )
+
+    def reader(self, schema: StructType) -> "TokstripeReader":
+        return TokstripeReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "TokstripeWriter":
+        return TokstripeWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "TokstripeStreamWriter":
+        return TokstripeStreamWriter(self.options, schema)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TokstripeReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        from .pipeline import _spark_type_str
+        from .warehouse import Warehouse
+
+        wh = Warehouse(options.get("path"))
+        self._snapshot = options.get("snapshot") or wh.current_snapshot_id()
+        manifest = wh.read_manifest(self._snapshot) if self._snapshot else None
+        if not manifest or not manifest.get("partitions"):
+            raise ValueError(
+                f"no committed snapshot {self._snapshot!r} under {wh.path!r}"
+            )
+        self._manifest = manifest
+        # the schema Spark asked for (defaults to schema(); may be a user-
+        # narrowed subset => stream-level column pruning in decode_stripe)
+        self._names = [f.name for f in schema.fields]
+        unknown = [n for n in self._names if n not in manifest["schema"]]
+        if unknown:
+            raise ValueError(f"columns {unknown} not in snapshot schema")
+        self._types = {
+            n: _spark_type_str(t) for n, t in manifest["schema"].items()
+        }
+        self._preds: list[tuple] = []       # exact: engine fully evaluates
+        self._hint_preds: list[tuple] = []  # prune-only: Spark re-evaluates
+
+    # -- planning ---------------------------------------------------------
+
+    def _pushable(self, f) -> str | None:
+        """Single-segment column reference, scalar non-array non-timestamp
+        type, int/str probe values only — else not pushable."""
+        if len(f.attribute) != 1:
+            return None
+        col = f.attribute[0]
+        t = self._types.get(col)
+        if t is None or t.startswith("array") or t == "timestamp":
+            return None
+        if not hasattr(f, "value"):  # IsNull/IsNotNull/Not(...)
+            return None
+        vals = f.value if isinstance(f.value, tuple) else (f.value,)
+        if not all(isinstance(v, (int, str)) and not isinstance(v, bool) for v in vals):
+            return None
+        return col
+
+    def pushFilters(self, filters):
+        for f in filters:
+            col = self._pushable(f)
+            if col is None:
+                yield f
+            elif isinstance(f, EqualTo):
+                self._preds.append(("in", col, [f.value]))
+            elif isinstance(f, In):
+                self._preds.append(("in", col, sorted(set(f.value))))
+            elif isinstance(f, GreaterThanOrEqual):
+                self._preds.append(("between", col, f.value, None))
+            elif isinstance(f, LessThanOrEqual):
+                self._preds.append(("between", col, None, f.value))
+            elif isinstance(f, GreaterThan):
+                # inclusive superset prunes; Spark applies the strict rest
+                self._hint_preds.append(("between", col, f.value, None))
+                yield f
+            elif isinstance(f, LessThan):
+                self._hint_preds.append(("between", col, None, f.value))
+                yield f
+            else:
+                yield f
+
+    def partitions(self):
+        from .pipeline import plan_scan_files
+
+        preds = self._preds + self._hint_preds
+        if preds:
+            files = plan_scan_files(self._manifest, preds)
+        else:
+            files = [p["file"] for p in self._manifest["partitions"].values()]
+        # empty scan: the API needs >= 1 partition; read() of a pruned-out
+        # file yields nothing, so hand back one no-op partition
+        return [_FilePartition(f) for f in files] or [_FilePartition("")]
+
+    # -- execution (executor-side) ---------------------------------------
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        import pyarrow.parquet as pq
+
+        from .pipeline import decode_blob_batches
+
+        preds = self._preds + self._hint_preds
+        pcols = [p[1] for p in preds]
+        read_cols = self._names + [c for c in pcols if c not in self._names]
+        pf = pq.ParquetFile(partition.path)
+        for b in pf.iter_batches(columns=["blob", "footer"]):
+            yield from decode_blob_batches(
+                [b], preds, read_cols, self._names
+            )
+
+
+class _CommitMsg(WriterCommitMessage):
+    def __init__(self, partitions: dict):
+        self.partitions = partitions
+
+
+def _encode_task(options, schema: StructType, snapshot: str, batches):
+    """Executor-side shared write path (batch + streaming): bucket rows into
+    pids, stream stripes through the pipeline's per-pid writers (stripe
+    split, key-sorted content, blooms, tmp+atomic rename), return the
+    partition metadata dicts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark import TaskContext
+
+    from .codecs import bloom as bloomc
+    from .pipeline import _make_encoder
+
+    key_col = options.get("key_col", "doc_id")
+    source_col = options.get("source_col", "source")
+    if source_col == "":
+        source_col = None
+    weight_col = options.get("weight_col", "n_tok")
+    if weight_col == "":
+        weight_col = None
+    salt = int(options.get("salt_buckets", "32"))
+    stripe_tokens = int(options.get("stripe_tokens", "4000000"))
+    field_names = [f.name for f in schema.fields]
+    if weight_col is not None and weight_col not in field_names:
+        weight_col = None
+    tid = TaskContext.get().partitionId() if TaskContext.get() else 0
+
+    def with_pid(rb: pa.RecordBatch) -> pa.RecordBatch:
+        keys = rb.column(key_col)
+        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+            h1, _ = bloomc.hash_pairs_str_array(keys)
+        else:
+            h1, _ = bloomc.hash_pairs_int(
+                keys.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+        bucket = pc.cast(pa.array((h1 % salt).astype("int64")), pa.string())
+        if source_col is not None:
+            pid = pc.binary_join_element_wise(
+                rb.column(source_col).cast(pa.string()), bucket, "#b"
+            )
+        else:
+            pid = pc.binary_join_element_wise(
+                pa.array(["all"] * rb.num_rows), bucket, "#b"
+            )
+        pid = pc.binary_join_element_wise(pid, f"w{tid}", "@")
+        return rb.append_column("pid", pid)
+
+    encode = _make_encoder(
+        options.get("path"), snapshot, stripe_tokens, key_col, weight_col
+    )
+    metas = {}
+    for meta_batch in encode(with_pid(b) for b in batches):
+        for row in meta_batch.to_pylist():
+            metas[row["pid"]] = row
+    return metas
+
+
+def _schema_dict(schema: StructType) -> dict:
+    return {f.name: f.dataType.simpleString() for f in schema.fields}
+
+
+class TokstripeWriter(DataSourceArrowWriter):
+    """Batch writer: tasks write data files (atomic rename, idempotent under
+    task retry — a retried partition regenerates the same (pid, task) file
+    names), driver publishes ONE manifest in commit(). overwrite=True
+    replaces an existing snapshot's manifest; otherwise the snapshot must
+    not already be committed."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.options = dict(options)
+        self.schema = schema
+        self.overwrite = overwrite
+        self.snapshot = self.options.get("snapshot") or f"ds-{uuid.uuid4().hex[:12]}"
+        from .warehouse import Warehouse
+
+        wh = Warehouse(self.options.get("path"))
+        if not overwrite and wh.read_manifest(self.snapshot):
+            raise ValueError(
+                f"snapshot {self.snapshot!r} already committed; use "
+                f"mode('overwrite') or a new snapshot name"
+            )
+
+    def write(self, iterator):
+        return _CommitMsg(
+            _encode_task(self.options, self.schema, self.snapshot, iterator)
+        )
+
+    def commit(self, messages):
+        from .warehouse import Warehouse
+
+        wh = Warehouse(self.options.get("path"))
+        if self.overwrite:
+            try:
+                os.remove(wh.manifest_file(self.snapshot))
+            except OSError:
+                pass
+        partitions = {}
+        for m in messages:
+            if m is not None:
+                partitions.update(m.partitions)
+        layout = {
+            "key_col": self.options.get("key_col", "doc_id"),
+            "source_col": self.options.get("source_col", "source") or None,
+            "weight_col": self.options.get("weight_col", "n_tok") or None,
+        }
+        wh.commit(
+            self.snapshot, partitions, _schema_dict(self.schema),
+            extra={"layout": layout},
+        )
+
+    def abort(self, messages):
+        _sweep_inprogress(self.options.get("path"))
+
+
+def _sweep_inprogress(warehouse_path: str) -> None:
+    """Remove leftover '*.inprogress-*' temp files after a failed job.
+    Renamed-but-uncommitted data files stay — they are invisible to readers
+    (manifest never published) and resumable jobs may adopt them."""
+    data_dir = os.path.join(warehouse_path, "data")
+    if not os.path.isdir(data_dir):
+        return
+    for d in os.listdir(data_dir):
+        pd = os.path.join(data_dir, d)
+        if not os.path.isdir(pd):
+            continue
+        for f in os.listdir(pd):
+            if ".inprogress-" in f:
+                try:
+                    os.remove(os.path.join(pd, f))
+                except OSError:
+                    pass
+
+
+class TokstripeStreamWriter(DataSourceStreamArrowWriter):
+    """Micro-batch sink with exactly-once across driver restarts: tasks
+    stage data files under a unique per-invocation snapshot name; commit
+    publishes them as '<snapshot>-e<batchId>'. A replayed epoch sees the
+    batch manifest already committed and deletes its re-staged files
+    instead of double-publishing."""
+
+    def __init__(self, options, schema: StructType):
+        self.options = dict(options)
+        self.schema = schema
+        self.base = self.options.get("snapshot", "stream")
+
+    def _epoch_snapshot(self, batch_id: int) -> str:
+        return f"{self.base}-e{batch_id:06d}"
+
+    def write(self, iterator):
+        stage = f"{self.base}-stage-{uuid.uuid4().hex[:12]}"
+        return _CommitMsg(
+            _encode_task(self.options, self.schema, stage, iterator)
+        )
+
+    def commit(self, messages, batchId: int):
+        from .warehouse import Warehouse
+
+        wh = Warehouse(self.options.get("path"))
+        snap = self._epoch_snapshot(batchId)
+        partitions = {}
+        for m in messages:
+            if m is not None:
+                partitions.update(m.partitions)
+        if wh.read_manifest(snap):
+            # replayed epoch after restart: already published exactly once —
+            # drop the re-staged files
+            for p in partitions.values():
+                try:
+                    os.remove(p["file"])
+                    side = p["file"] + ".bloom.json"
+                    if os.path.exists(side):
+                        os.remove(side)
+                except OSError:
+                    pass
+            return
+        layout = {
+            "key_col": self.options.get("key_col", "doc_id"),
+            "source_col": self.options.get("source_col", "source") or None,
+            "weight_col": self.options.get("weight_col", "n_tok") or None,
+        }
+        wh.commit(snap, partitions, _schema_dict(self.schema), extra={"layout": layout})
+
+    def abort(self, messages, batchId: int):
+        # remove staged files of the failed epoch (they are referenced only
+        # by the never-published commit messages) + temp leftovers
+        for m in messages:
+            if m is None:
+                continue
+            for p in m.partitions.values():
+                try:
+                    os.remove(p["file"])
+                    side = p["file"] + ".bloom.json"
+                    if os.path.exists(side):
+                        os.remove(side)
+                except OSError:
+                    pass
+        _sweep_inprogress(self.options.get("path"))

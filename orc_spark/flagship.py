@@ -267,6 +267,43 @@ def pruned_scan_summary(
     return _with_encoded(spark, sf_dir, "pruned", consume, salt_buckets, stripe_tokens)
 
 
+def dsv2_scan_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 8,
+    stripe_tokens: int = 2_000_000,
+) -> DataFrame:
+    """Data-source-format gate: encode → read back through
+    `spark.read.format("tokstripe")` (orc_spark.datasource — the warehouse
+    as a first-class Spark format) with a Catalyst WHERE whose filters
+    reach the engine via `DataSourceReader.pushFilters` (planning-time
+    file/bloom prune, stripe-stats skip, exact arrow row filter) →
+    per-source checksum aggregates. The DuckDB oracle filters the
+    re-derived tokens directly, so schema inference, pushdown translation,
+    and the Arrow read path are all inside the value-hash gate."""
+    from pyspark.sql import functions as FF
+
+    from .datasource import register
+
+    register(spark)
+
+    def consume(wh):
+        r = (
+            spark.read.format("tokstripe")
+            .option("path", wh)
+            .option("snapshot", "dsv2")
+            .load()
+            .where(
+                (FF.col("source") >= "src3")
+                & (FF.col("n_tok") >= 30)
+                & (FF.col("n_tok") <= 70)
+            )
+        )
+        return _checksum_summary(spark, r)
+
+    return _with_encoded(spark, sf_dir, "dsv2", consume, salt_buckets, stripe_tokens)
+
+
 def orc_export_summary(
     spark: SparkSession,
     sf_dir: str,

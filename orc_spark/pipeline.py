@@ -455,7 +455,8 @@ def _spark_type_str(t: str) -> str:
 def normalize_predicates(predicate) -> list[tuple]:
     """Accepted predicate forms (conjunction semantics, ORC search-argument
     style):
-      ("col", lo, hi)          — BETWEEN lo AND hi (inclusive)
+      ("col", lo, hi)          — BETWEEN lo AND hi (inclusive); either bound
+                                 may be None = unbounded on that side
       ("col", values)          — IN set (values: list/tuple/set)
       [pred, pred, ...]        — AND of the above
     Normalized to [("between", col, lo, hi) | ("in", col, sorted_values)]."""
@@ -465,6 +466,8 @@ def normalize_predicates(predicate) -> list[tuple]:
     out = []
     for p in preds:
         if len(p) == 3:
+            if p[1] is None and p[2] is None:
+                continue  # unbounded on both sides: no-op conjunct
             out.append(("between", p[0], p[1], p[2]))
         elif len(p) == 2 and isinstance(p[1], (list, tuple, set, frozenset)):
             if not p[1]:
@@ -482,7 +485,12 @@ def _pred_matches_range(pred: tuple, mn, mx) -> bool:
     file-level and stripe-level pruning test — conservative by
     construction: stats only ever EXCLUDE.)"""
     if pred[0] == "between":
-        return not (mx < pred[2] or mn > pred[3])
+        lo, hi = pred[2], pred[3]
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+        return True
     return any(mn <= v <= mx for v in pred[2])
 
 
@@ -565,7 +573,12 @@ def _row_mask(rb: pa.RecordBatch, preds: list[tuple]):
             # (the same integers the stripe stats carry)
             c = c.cast(pa.int64())
         if p[0] == "between":
-            m = pc.and_(pc.greater_equal(c, p[2]), pc.less_equal(c, p[3]))
+            m = None
+            if p[2] is not None:
+                m = pc.greater_equal(c, p[2])
+            if p[3] is not None:
+                le = pc.less_equal(c, p[3])
+                m = le if m is None else pc.and_(m, le)
         else:
             m = pc.is_in(c, value_set=pa.array(p[2], type=c.type))
         mask = m if mask is None else pc.and_(mask, m)
@@ -628,50 +641,7 @@ def decode_table(
     names = columns or list(schema.keys())
     out_schema = ", ".join(f"{n} {_spark_type_str(schema[n])}" for n in names)
     if preds:
-        layout = (manifest.get("layout") if manifest else None) or {}
-        key_col = layout.get("key_col", "doc_id")
-        src_col = layout.get("source_col", "source")
-        key_parse = (
-            int
-            if _spark_type_str(schema.get(key_col, "string"))
-            in ("tinyint", "smallint", "int", "bigint")
-            else None
-        )
-        n_total = len(files)
-        files = [
-            part["file"]
-            for pid, part in manifest["partitions"].items()
-            if file_matches(pid, part, preds, key_col, src_col, key_parse)
-        ]
-        if prune_metrics is not None:
-            prune_metrics["files_total"] = n_total
-            prune_metrics["files_pruned"] = n_total - len(files)
-        # FILE-level bloom prune (planning-time, like Iceberg puffin stats):
-        # for IN-set predicates on the key column, test each surviving
-        # file's sidecar bloom — the salt makes key RANGES too wide to
-        # exclude anything, so this is what makes point lookups skip files.
-        # Only files that survived range pruning pay the sidecar read.
-        in_key = [p for p in preds if p[0] == "in" and p[1] == key_col]
-        if in_key and files:
-            key_is_str = key_parse is None
-            survivors = []
-            for f in files:
-                keep = True
-                try:
-                    with open(f + ".bloom.json") as fh:
-                        meta = json.load(fh)
-                    if meta.get("column") == key_col:
-                        keep = all(
-                            bloomc.meta_might_contain(meta, p[2], key_is_str)
-                            for p in in_key
-                        )
-                except (OSError, ValueError):
-                    pass  # no/unreadable sidecar: cannot exclude
-                if keep:
-                    survivors.append(f)
-            if prune_metrics is not None:
-                prune_metrics["files_bloom_pruned"] = len(files) - len(survivors)
-            files = survivors
+        files = plan_scan_files(manifest, preds, prune_metrics)
         if not files:  # every partition pruned: empty result, no job
             return spark.createDataFrame([], out_schema)
     if prune_metrics is not None:
@@ -688,45 +658,117 @@ def decode_table(
     read_cols = names + [c for c in pcols if c not in names]
 
     def decode_partition(batches):
-        for batch in batches:
-            blobs = batch.column("blob")
-            footers = batch.column("footer")
-            for i in range(batch.num_rows):
-                footer = footer_from_json(str(footers[i]))
-                if acc_seen is not None:
-                    acc_seen.add(1)
-                if preds and not all(
-                    stripe_matches_pred(footer, p) for p in preds
-                ):
-                    if acc_skip is not None:
-                        acc_skip.add(1)
-                    continue
-                # STRIPE-level bloom: range stats passed, but an IN-set may
-                # still miss every key in this stripe — tested before any
-                # stream of the blob is decompressed
-                if preds and not all(
-                    stripe_bloom_matches(footer, p)
-                    for p in preds
-                    if p[0] == "in"
-                ):
-                    if acc_skip is not None:
-                        acc_skip.add(1)
-                    if acc_bloom is not None:
-                        acc_bloom.add(1)
-                    continue
-                rb = decode_stripe(
-                    blobs[i].as_buffer(), footer, columns=read_cols
-                )
-                if preds:
-                    rb = rb.filter(_row_mask(rb, preds))
-                    if rb.num_rows == 0:
-                        continue
-                    if read_cols != names:
-                        rb = rb.select(names)
-                yield rb
+        yield from decode_blob_batches(
+            batches, preds, read_cols, names, acc_seen, acc_skip, acc_bloom
+        )
 
     sdf = spark.read.parquet(*files).select("blob", "footer")
     return sdf.mapInArrow(decode_partition, out_schema)
+
+
+def plan_scan_files(
+    manifest: dict, preds: list[tuple], prune_metrics: dict | None = None
+) -> list[str]:
+    """FILE-level scan planning over driver-side metadata, shared by
+    decode_table and the tokstripe Python data source:
+      1. manifest range/partition-key prune (file_matches) — pruned files
+         are never opened;
+      2. sidecar bloom prune for IN-set predicates on the key column (the
+         salt makes key RANGES too wide to exclude anything, so the bloom
+         is what makes point lookups skip files). Only files that survived
+         range pruning pay the sidecar read — one small GET per file at
+         object-store scale, the planning read Iceberg does for puffin.
+    `preds` must already be normalized (normalize_predicates)."""
+    schema = manifest["schema"]
+    layout = manifest.get("layout") or {}
+    key_col = layout.get("key_col", "doc_id")
+    src_col = layout.get("source_col", "source")
+    key_parse = (
+        int
+        if _spark_type_str(schema.get(key_col, "string"))
+        in ("tinyint", "smallint", "int", "bigint")
+        else None
+    )
+    n_total = len(manifest["partitions"])
+    files = [
+        part["file"]
+        for pid, part in manifest["partitions"].items()
+        if file_matches(pid, part, preds, key_col, src_col, key_parse)
+    ]
+    if prune_metrics is not None:
+        prune_metrics["files_total"] = n_total
+        prune_metrics["files_pruned"] = n_total - len(files)
+    in_key = [p for p in preds if p[0] == "in" and p[1] == key_col]
+    if in_key and files:
+        key_is_str = key_parse is None
+        survivors = []
+        for f in files:
+            keep = True
+            try:
+                with open(f + ".bloom.json") as fh:
+                    meta = json.load(fh)
+                if meta.get("column") == key_col:
+                    keep = all(
+                        bloomc.meta_might_contain(meta, p[2], key_is_str)
+                        for p in in_key
+                    )
+            except (OSError, ValueError):
+                pass  # no/unreadable sidecar: cannot exclude
+            if keep:
+                survivors.append(f)
+        if prune_metrics is not None:
+            prune_metrics["files_bloom_pruned"] = len(files) - len(survivors)
+        files = survivors
+    return files
+
+
+def decode_blob_batches(
+    batches,
+    preds: list[tuple],
+    read_cols: list[str],
+    names: list[str],
+    acc_seen=None,
+    acc_skip=None,
+    acc_bloom=None,
+):
+    """Decode a stream of (blob, footer) Arrow batches into RecordBatches of
+    `names` columns, applying the executor-side half of predicate pushdown:
+    stripe-stats skip, stripe-bloom skip (both BEFORE any stream of the blob
+    is decompressed), then the exact arrow row filter. Shared by
+    decode_table's mapInArrow task and the tokstripe data source's read()."""
+    for batch in batches:
+        blobs = batch.column("blob")
+        footers = batch.column("footer")
+        for i in range(batch.num_rows):
+            footer = footer_from_json(str(footers[i]))
+            if acc_seen is not None:
+                acc_seen.add(1)
+            if preds and not all(
+                stripe_matches_pred(footer, p) for p in preds
+            ):
+                if acc_skip is not None:
+                    acc_skip.add(1)
+                continue
+            # STRIPE-level bloom: range stats passed, but an IN-set may
+            # still miss every key in this stripe
+            if preds and not all(
+                stripe_bloom_matches(footer, p)
+                for p in preds
+                if p[0] == "in"
+            ):
+                if acc_skip is not None:
+                    acc_skip.add(1)
+                if acc_bloom is not None:
+                    acc_bloom.add(1)
+                continue
+            rb = decode_stripe(blobs[i].as_buffer(), footer, columns=read_cols)
+            if preds:
+                rb = rb.filter(_row_mask(rb, preds))
+                if rb.num_rows == 0:
+                    continue
+                if read_cols != names:
+                    rb = rb.select(names)
+            yield rb
 
 
 EXPORT_META_SCHEMA = "pid string, stripes long, file string, n_rows long, orc_bytes long"
