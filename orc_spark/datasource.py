@@ -65,6 +65,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -116,6 +117,9 @@ class TokstripeDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> "TokstripeStreamWriter":
         return TokstripeStreamWriter(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> "TokstripeStreamReader":
+        return TokstripeStreamReader(self.options, schema)
 
 
 class _FilePartition(InputPartition):
@@ -218,6 +222,67 @@ class TokstripeReader(DataSourceReader):
             yield from decode_blob_batches(
                 [b], preds, read_cols, self._names
             )
+
+
+class TokstripeStreamReader(DataSourceStreamReader):
+    """Tail the warehouse as a stream: every snapshot that commits becomes a
+    micro-batch (one task per data file). Offsets are the sorted set of
+    snapshot names already consumed — snapshot publication is atomic (one
+    manifest rename), so a snapshot is either absent or complete; snapshots
+    must not be re-committed after publication when consumed this way
+    (encode_table commits once at the end of a job; stream-writer epochs
+    are final). Use .option("snapshot_prefix", ...) to tail one logical
+    stream (e.g. a stream writer's '<name>-e' epochs) out of a shared
+    warehouse."""
+
+    def __init__(self, options, schema: StructType):
+        from .warehouse import Warehouse
+
+        self._wh_path = options.get("path")
+        if not self._wh_path:
+            raise ValueError("tokstripe requires .option('path', <warehouse dir>)")
+        self._prefix = options.get("snapshot_prefix", "")
+        self._names = [f.name for f in schema.fields]
+        self._manifest_dir = Warehouse(self._wh_path).manifest_dir
+
+    def _committed(self) -> list[str]:
+        try:
+            names = os.listdir(self._manifest_dir)
+        except OSError:
+            return []
+        return sorted(
+            f[5:-5]
+            for f in names
+            if f.startswith(f"snap-{self._prefix}") and f.endswith(".json")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": self._committed()}
+
+    def partitions(self, start: dict, end: dict):
+        from .warehouse import Warehouse
+
+        new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        wh = Warehouse(self._wh_path)
+        files = [f for s in new for f in wh.committed_files(s)]
+        return [_FilePartition(f) for f in files] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        import pyarrow.parquet as pq
+
+        from .pipeline import decode_blob_batches
+
+        pf = pq.ParquetFile(partition.path)
+        for b in pf.iter_batches(columns=["blob", "footer"]):
+            yield from decode_blob_batches([b], [], self._names, self._names)
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are durable; nothing to release
 
 
 class _CommitMsg(WriterCommitMessage):

@@ -129,6 +129,41 @@ def test_write_then_read_format_with_bloom_point_lookup(spark, tmp_path):
     assert got.rdd.getNumPartitions() <= 2
 
 
+def test_stream_reader_tails_snapshots(spark, tmp_path):
+    register(spark)
+    wh = str(tmp_path / "tail_wh")
+    t = tokens_arrow(400, seed=5)
+    df = spark.createDataFrame(t.to_pandas())
+    d1 = df.where(F.col("n_tok") % 2 == 0)
+    d2 = df.where(F.col("n_tok") % 2 == 1)
+    encode_table(spark, d1, wh, snapshot="t1", salt_buckets=2, stripe_tokens=50_000)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("tokstripe")
+            .option("path", wh)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "tail_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    got1 = spark.read.parquet(out)
+    assert verify_roundtrip(d1, got1)["ok"]
+
+    # a second snapshot commits; the restarted stream consumes ONLY it
+    encode_table(spark, d2, wh, snapshot="t2", salt_buckets=2, stripe_tokens=50_000)
+    drain()
+    got2 = spark.read.parquet(out)
+    assert verify_roundtrip(df, got2)["ok"]  # union, no duplicates
+
+
 def test_stream_writer_exactly_once(spark, tmp_path):
     register(spark)
     inp = tmp_path / "in"
