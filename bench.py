@@ -87,6 +87,17 @@ def main() -> None:
     res = timed("verify", lambda: verify_roundtrip(df, decode_table(spark, wh, snapshot="b")))
     assert res["ok"], "bit-equality verify FAILED"
 
+    # point lookup on the encoded warehouse: blooms prune non-matching
+    # files at planning time, so this should be near-constant in table size
+    # (the contrast with "decode" above is the pruning win)
+    ids = [f"doc-{i:010d}" for i in (7, n_docs // 2, n_docs - 3)]
+    timed(
+        "point_lookup",
+        lambda: decode_table(
+            spark, wh, snapshot="b", predicate=[("doc_id", ids)]
+        ).count(),
+    )
+
     # representative operator queries over the driver testdata at this sf
     timed("dedup_exact", lambda: textops.dedup_exact(spark, SF_DIR).count())
     timed("minhash_signatures", lambda: textops.minhash_signatures(spark, SF_DIR).count())

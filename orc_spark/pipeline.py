@@ -139,9 +139,17 @@ def rebalance_by_tokens(
 class _PidWriter:
     """Streams one pid's stripes into its snapshot data file (tmp + rename)."""
 
-    def __init__(self, warehouse_path: str, snapshot: str, pid: str, key_col: str = "doc_id"):
+    def __init__(
+        self,
+        warehouse_path: str,
+        snapshot: str,
+        pid: str,
+        key_col: str = "doc_id",
+        key_blooms: bool = True,
+    ):
         self.pid = pid
         self.key_col = key_col
+        self.key_blooms = key_blooms
         self.final = Warehouse(warehouse_path).data_file(pid, snapshot)
         os.makedirs(os.path.dirname(self.final), exist_ok=True)
         self.tmp = self.final + f".inprogress-{uuid.uuid4().hex[:8]}"
@@ -183,7 +191,11 @@ class _PidWriter:
         # key bloom: one vectorized hash pass feeds BOTH the stripe-level
         # bloom (stripe footer stats, sized to this stripe's rows) and the
         # file-level bloom (OR-accumulated, written as a sidecar at close)
-        hp = self._key_hashes(tbl.column(self.key_col))
+        hp = (
+            self._key_hashes(tbl.column(self.key_col))
+            if self.key_blooms
+            else None
+        )
         if hp is not None:
             h1, h2 = hp
             stats = footer["columns"][self.key_col].setdefault("stats", {})
@@ -264,6 +276,7 @@ def _make_encoder(
     stripe_tokens: int,
     key_col: str = "doc_id",
     weight_col: str | None = "n_tok",
+    key_blooms: bool = True,
 ):
     """Multi-writer partition encoder: rows arrive in ARBITRARY pid order
     (no cluster-wide sort!) — each Arrow batch is clustered by pid locally
@@ -326,7 +339,9 @@ def _make_encoder(
             for s, e in zip(starts.tolist(), ends.tolist()):
                 pid = str(pids[s])
                 if pid not in writers:
-                    writers[pid] = _PidWriter(warehouse_path, snapshot, pid, key_col)
+                    writers[pid] = _PidWriter(
+                        warehouse_path, snapshot, pid, key_col, key_blooms
+                    )
                     bufs[pid], buf_tokens[pid] = [], 0
                 bufs[pid].append(batch.slice(s, e - s))
                 seg = int(csum[e] - csum[s])
@@ -358,6 +373,7 @@ def encode_table(
     key_col: str = "doc_id",
     source_col: str | None = "source",
     weight_col: str | None = "n_tok",
+    key_blooms: bool = True,
 ) -> dict:
     """Encode a (doc_id, tokens, n_tok, source) DataFrame into the warehouse;
     returns the committed manifest. Resumable: committed partitions are
@@ -372,7 +388,11 @@ def encode_table(
     `source_col` (pid prefix = partition key; None salts on the key alone)
     and `weight_col` (stripe sizing mass; None weighs every row 1). The
     layout is recorded in the manifest so decode-side pruning knows which
-    columns the file-level ranges describe."""
+    columns the file-level ranges describe.
+
+    `key_blooms=False` skips the stripe/file key bloom filters (and their
+    ~1% encode CPU): IN-set point lookups then fall back to range stats +
+    exact row filtering — correct, just unpruned under the salt."""
     wh = Warehouse(warehouse_path)
     schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     dfp = with_pid(df, salt_buckets, key_col, source_col)
@@ -412,7 +432,10 @@ def encode_table(
         # and keeps one writer per pid (see _make_encoder); doc_id order is
         # restored per stripe inside _PidWriter.write_stripe
         .mapInArrow(
-            _make_encoder(warehouse_path, snapshot, stripe_tokens, key_col, weight_col),
+            _make_encoder(
+                warehouse_path, snapshot, stripe_tokens, key_col, weight_col,
+                key_blooms,
+            ),
             META_SCHEMA,
         )
     )
