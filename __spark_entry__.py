@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from orc_spark import relational, similarity, textops
     from orc_spark.flagship import (
         codec_plan_report,
+        compaction_summary,
         dsv2_scan_summary,
         encode_roundtrip_summary,
         orc_export_summary,
@@ -129,6 +130,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ship(spark)
         return orc_export_summary(spark, sf_dir)
 
+    def _compact(spark, sf_dir):
+        _ship(spark)
+        # three stream-epoch snapshots -> concat-compact -> expire sources
+        # -> decode ONLY the compacted snapshot; must equal the full table
+        return compaction_summary(spark, sf_dir)
+
     def _vocab(spark, sf_dir):
         _ship(spark)
         return vocab_top_tokens(spark, sf_dir)
@@ -184,6 +191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # back with SPARK'S OWN ORC READER (orc-core) -> aggregates; the
         # reference reader sits inside the gate loop
         "orc_export": _export,
+        # warehouse maintenance: per-epoch fragmentation compacted away,
+        # losslessly (decode of the compacted snapshot == the full table)
+        "compaction": _compact,
         # analytics THROUGH the warehouse: top-k token histogram computed
         # from the decoded stripes (engine-as-source)
         "vocab_top_tokens": _vocab,
@@ -374,6 +384,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
             FROM t GROUP BY source
         """,
+        # compaction is lossless by definition: the compacted snapshot must
+        # aggregate exactly like the full derived tokens table (same oracle
+        # shape as orc_export — the Spark side went through 3 epoch encodes,
+        # a concat compaction, source expiry, and a decode)
+        "compaction": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {{h48_doc}} AS h,
+                     [{{h48_w}} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor(h) AS BIGINT) AS doc_xor,
+                   CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
+            FROM t GROUP BY source
+        """.format(
+            h48_doc=_H48.format(x="CAST(doc_id AS VARCHAR)"),
+            h48_w=_H48.format(x="w"),
+        ),
         # generic tables through the warehouse: the oracle aggregates RAW
         # parquet; the Spark side aggregates the DECODED warehouse — value
         # equality proves the float/timestamp/list<float> encode+decode is

@@ -332,6 +332,55 @@ def orc_export_summary(
         shutil.rmtree(out, ignore_errors=True)
 
 
+def compaction_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 4,
+    stripe_tokens: int = 500_000,
+    mode: str = "concat",
+) -> DataFrame:
+    """Maintenance gate: split the derived tokens table into three epoch
+    snapshots (the stream sink's one-snapshot-per-micro-batch shape), encode
+    each, compact them into one snapshot (maintenance.compact_snapshots),
+    EXPIRE the sources, then decode ONLY the compacted snapshot into the
+    per-source checksum aggregates. The DuckDB oracle aggregates the full
+    re-derived tokens table, so compaction must be exactly lossless — a
+    dropped/duplicated stripe, a mis-merged manifest range, or a compacted
+    file secretly sharing state with an expired source all flip the hash.
+    The file-count assertion pins the point of the operator: up to 3 epoch
+    files per pid must become exactly 1."""
+    from .maintenance import compact_snapshots, expire_snapshots
+    from .warehouse import Warehouse
+
+    wh = tempfile.mkdtemp(prefix="orc_spark_compact_")
+    try:
+        df = tokens_from_documents(read_documents(spark, sf_dir))
+        epoch = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+        snaps = [f"stream-{e:03d}" for e in range(3)]
+        for e, s in enumerate(snaps):
+            encode_table(
+                spark, df.where(epoch == e), wh, snapshot=s,
+                salt_buckets=salt_buckets, stripe_tokens=stripe_tokens,
+            )
+        n_src_files = sum(
+            len(Warehouse(wh).read_manifest(s)["partitions"]) for s in snaps
+        )
+        m = compact_snapshots(spark, wh, snaps, "main", mode=mode)
+        # every epoch need not hit every pid, so dest*3 bounds src from
+        # above; collapse means strictly fewer dest files than source files
+        if mode == "concat" and not (
+            len(m["partitions"]) < n_src_files <= len(m["partitions"]) * 3
+        ):
+            raise AssertionError(
+                f"compaction did not collapse files: {n_src_files} sources "
+                f"-> {len(m['partitions'])} dest"
+            )
+        expire_snapshots(wh, snaps)
+        return _checksum_summary(spark, decode_table(spark, wh, "main"))
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def vocab_top_tokens(
     spark: SparkSession,
     sf_dir: str,

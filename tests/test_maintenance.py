@@ -1,0 +1,163 @@
+"""Snapshot compaction + expiry: the dest snapshot must decode identically
+to the union of its sources (concat copies blobs verbatim; reencode goes
+through the full codec path), file counts must actually collapse, merged
+blooms must still prune, and expiry must remove exactly the source files."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from orc_spark.maintenance import compact_snapshots, expire_snapshots
+from orc_spark.pipeline import decode_table, encode_table
+from orc_spark.warehouse import Warehouse
+
+
+def _epoch_df(spark, epoch: int, n=700):
+    """Disjoint doc ranges per epoch — the stream-sink shape (one snapshot
+    per micro-batch over an arriving corpus)."""
+    return (
+        spark.range(epoch * n, (epoch + 1) * n)
+        .select(
+            F.format_string("d%07d", F.col("id")).alias("doc_id"),
+            F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 37) + 4),
+                lambda i: ((i * 31 + F.col("id")) % 997).cast("int"),
+            ).alias("tokens"),
+            F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )
+
+
+@pytest.fixture(scope="module")
+def epochs_wh(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("compact_wh"))
+    for e in range(3):
+        encode_table(
+            spark, _epoch_df(spark, e), wh, snapshot=f"stream-{e:03d}",
+            salt_buckets=4, stripe_tokens=2_000,
+        )
+    return wh
+
+
+SNAPS = ["stream-000", "stream-001", "stream-002"]
+
+
+def _union_sources(spark, wh):
+    df = decode_table(spark, wh, SNAPS[0])
+    for s in SNAPS[1:]:
+        df = df.unionByName(decode_table(spark, wh, s))
+    return df
+
+
+def test_concat_compaction_is_lossless_and_collapses_files(spark, epochs_wh):
+    m = compact_snapshots(spark, epochs_wh, SNAPS, "compacted")
+    assert m["compacted_from"] == SNAPS
+    got = decode_table(spark, epochs_wh, "compacted")
+    want = _union_sources(spark, epochs_wh)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # file count: 3 epoch files per pid -> 1 compacted file per pid
+    dest_files = glob.glob(epochs_wh + "/data/pid=*/snap-compacted.parquet")
+    src_files = glob.glob(epochs_wh + "/data/pid=*/snap-stream-*.parquet")
+    assert len(src_files) == 3 * len(dest_files) > 0
+    # lineage metrics survive the merge
+    tot = sum(p["n_rows"] for p in m["partitions"].values())
+    assert tot == want.count()
+
+
+def test_concat_preserves_blobs_verbatim(spark, epochs_wh):
+    """concat must not touch blob bytes: dest enc_bytes == sum of sources'."""
+    wh = Warehouse(epochs_wh)
+    src_bytes = sum(
+        p["enc_bytes"]
+        for s in SNAPS
+        for p in wh.read_manifest(s)["partitions"].values()
+    )
+    dst = wh.read_manifest("compacted")
+    assert sum(p["enc_bytes"] for p in dst["partitions"].values()) == src_bytes
+    assert all(p.get("compacted") for p in dst["partitions"].values())
+
+
+def test_merged_blooms_still_prune_and_stay_transparent(spark, epochs_wh):
+    dest_files = glob.glob(epochs_wh + "/data/pid=*/snap-compacted.parquet")
+    sides = [f + ".bloom.json" for f in dest_files]
+    assert all(os.path.exists(s) for s in sides)
+    # merged n = total keys across epochs for that pid
+    meta = json.load(open(sides[0]))
+    assert meta["column"] == "doc_id" and meta["n"] > 0
+    ids = ["d0000042", "d0000777", "d0001500"]  # spans epochs 0-2
+    m = {}
+    got = decode_table(
+        spark, epochs_wh, "compacted", predicate=[("doc_id", ids)],
+        prune_metrics=m,
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == ids
+    files_pruned = m["files_pruned"] + m["files_bloom_pruned"]
+    assert files_pruned > 0  # 2 sources x 4 buckets of pids; ids hit few
+
+
+def test_concat_rerun_is_idempotent(spark, epochs_wh):
+    before = json.dumps(
+        Warehouse(epochs_wh).read_manifest("compacted")["partitions"],
+        sort_keys=True,
+    )
+    compact_snapshots(spark, epochs_wh, SNAPS, "compacted")
+    after = json.dumps(
+        Warehouse(epochs_wh).read_manifest("compacted")["partitions"],
+        sort_keys=True,
+    )
+    assert before == after
+
+
+def test_reencode_compaction_merges_stripes(spark, epochs_wh):
+    m = compact_snapshots(
+        spark, epochs_wh, SNAPS, "reenc", mode="reencode",
+        stripe_tokens=1_000_000, salt_buckets=4,
+    )
+    got = decode_table(spark, epochs_wh, "reenc")
+    want = _union_sources(spark, epochs_wh)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    wh = Warehouse(epochs_wh)
+    src_stripes = sum(
+        p["stripes"]
+        for s in SNAPS
+        for p in wh.read_manifest(s)["partitions"].values()
+    )
+    dst_stripes = sum(
+        p["stripes"] for p in wh.read_manifest("reenc")["partitions"].values()
+    )
+    assert dst_stripes < src_stripes  # tiny epoch stripes re-packed
+
+
+def test_mismatched_layout_refused(spark, tmp_path):
+    wh = str(tmp_path / "mix")
+    encode_table(spark, _epoch_df(spark, 0, 60), wh, snapshot="a",
+                 salt_buckets=2, stripe_tokens=2_000)
+    encode_table(spark, _epoch_df(spark, 1, 60).withColumnRenamed("doc_id", "k"),
+                 wh, snapshot="b", salt_buckets=2, stripe_tokens=2_000,
+                 key_col="k")
+    with pytest.raises(ValueError, match="schema differs"):
+        compact_snapshots(spark, wh, ["a", "b"], "c")
+
+
+def test_expire_sources_after_compaction(spark, epochs_wh):
+    # CURRENT is now one of the compaction dests; sources are dead weight
+    res = expire_snapshots(epochs_wh, SNAPS)
+    assert res["files_deleted"] > 0
+    assert glob.glob(epochs_wh + "/data/pid=*/snap-stream-*.parquet") == []
+    assert Warehouse(epochs_wh).read_manifest(SNAPS[0]) is None
+    # the compacted snapshot still decodes in full
+    assert decode_table(spark, epochs_wh, "compacted").count() == 3 * 700
+    # idempotent
+    assert expire_snapshots(epochs_wh, SNAPS)["files_deleted"] == 0
+
+
+def test_expire_refuses_current(spark, epochs_wh):
+    cur = Warehouse(epochs_wh).current_snapshot_id()
+    with pytest.raises(ValueError, match="CURRENT"):
+        expire_snapshots(epochs_wh, [cur])
