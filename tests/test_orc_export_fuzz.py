@@ -81,7 +81,10 @@ def test_liborc_reads_fuzzed_compressed_batches(tmp_path_factory, words, nulls, 
         mask = rng.random(n) < 0.3
         s_arr = pa.array([None if m else w for m, w in zip(mask, words)],
                          type=pa.string())
-        i_arr = pa.array([None if m else int(v) for m, v in zip(~mask, ints)])
+        # explicit type: an all-None draw must exercise the all-null-int64
+        # export path, not collapse to Arrow's `null` type
+        i_arr = pa.array([None if m else int(v) for m, v in zip(~mask, ints)],
+                         type=pa.int64())
     batch = pa.record_batch([s_arr, i_arr], names=["s", "v"])
     f = str(tmp_path_factory.mktemp("fz") / "b.orc")
     w = OrcFileWriter(f, compression="zstd")
@@ -91,6 +94,28 @@ def test_liborc_reads_fuzzed_compressed_batches(tmp_path_factory, words, nulls, 
     got = paorc.ORCFile(f).read()
     assert got.column("s").to_pylist() == s_arr.to_pylist() * 2
     assert got.column("v").to_pylist() == i_arr.to_pylist() * 2
+
+
+def test_liborc_reads_all_null_columns(tmp_path):
+    """Typed all-null columns (PRESENT all zeros, empty DATA streams) must
+    still export — found by the hypothesis fuzz above when a null-mask draw
+    covered a whole column."""
+    batch = pa.record_batch(
+        [
+            pa.array([None, None, None], type=pa.int64()),
+            pa.array([None, None, None], type=pa.string()),
+            pa.array(["x", None, "y"], type=pa.string()),
+        ],
+        names=["v", "s", "t"],
+    )
+    f = str(tmp_path / "allnull.orc")
+    w = OrcFileWriter(f, compression="zstd")
+    w.add_stripe(batch)
+    w.close()
+    got = paorc.ORCFile(f).read()
+    assert got.column("v").to_pylist() == [None, None, None]
+    assert got.column("s").to_pylist() == [None, None, None]
+    assert got.column("t").to_pylist() == ["x", None, "y"]
 
 
 # deterministic tricky corpus for the (slow-to-start) Java reader: every
