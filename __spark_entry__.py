@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dsv2_scan_summary,
         encode_roundtrip_summary,
         orc_export_summary,
+        orc_import_summary,
         pruned_scan_summary,
         vocab_top_tokens,
     )
@@ -129,6 +130,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _export(spark, sf_dir):
         _ship(spark)
         return orc_export_summary(spark, sf_dir)
+
+    def _import(spark, sf_dir):
+        _ship(spark)
+        # foreign ORC (written by Spark's orc-core) -> import_orc ->
+        # decode: the migration-in mirror of orc_export
+        return orc_import_summary(spark, sf_dir)
 
     def _compact(spark, sf_dir):
         _ship(spark)
@@ -191,6 +198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # back with SPARK'S OWN ORC READER (orc-core) -> aggregates; the
         # reference reader sits inside the gate loop
         "orc_export": _export,
+        # interchange source: foreign ORC files (Spark's own ORC writer) ->
+        # import_orc -> decode -> aggregates; migration-in mirror of the
+        # export gate
+        "orc_import": _import,
         # warehouse maintenance: per-epoch fragmentation compacted away,
         # losslessly (decode of the compacted snapshot == the full table)
         "compaction": _compact,
@@ -370,6 +381,24 @@ def oracle_sql() -> dict[str, str]:
         # interchange sink: same derivation, unfiltered — what Spark's own
         # ORC reader must see after our writer's files round-trip
         "orc_export": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor(h) AS BIGINT) AS doc_xor,
+                   CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
+            FROM t GROUP BY source
+        """,
+        # interchange source: the Spark side wrote foreign ORC with
+        # orc-core, ingested it via import_orc, and decoded — the result
+        # must aggregate exactly like the re-derived tokens table
+        "orc_import": f"""
             WITH t AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
                      {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,

@@ -332,6 +332,39 @@ def orc_export_summary(
         shutil.rmtree(out, ignore_errors=True)
 
 
+def orc_import_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 8,
+    stripe_tokens: int = 2_000_000,
+) -> DataFrame:
+    """Interchange-SOURCE gate, the mirror of orc_export_summary: write the
+    derived tokens table as standard ORC with SPARK'S OWN ORC WRITER
+    (orc-core, zstd), ingest those foreign ORC files through
+    pipeline.import_orc (spark.read.orc → the single-shuffle encode
+    pipeline) into a fresh warehouse, decode, and aggregate per source.
+    Export proves any ORC reader consumes the warehouse; THIS proves the
+    warehouse consumes any ORC writer — a reference ORC user's existing
+    files migrate in with one call. The DuckDB oracle re-derives the same
+    aggregates from raw documents, so a bit lost anywhere in orc-core's
+    write/read or our encode→decode flips the value hash."""
+    from .pipeline import decode_table, import_orc
+
+    orc_dir = tempfile.mkdtemp(prefix="orc_spark_import_src_")
+    wh = tempfile.mkdtemp(prefix="orc_spark_import_wh_")
+    try:
+        df = tokens_from_documents(read_documents(spark, sf_dir))
+        df.write.mode("overwrite").orc(orc_dir)
+        import_orc(
+            spark, orc_dir, wh, snapshot="import",
+            salt_buckets=salt_buckets, stripe_tokens=stripe_tokens,
+        )
+        return _checksum_summary(spark, decode_table(spark, wh, "import"))
+    finally:
+        shutil.rmtree(orc_dir, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def compaction_summary(
     spark: SparkSession,
     sf_dir: str,

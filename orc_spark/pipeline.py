@@ -879,6 +879,29 @@ def export_orc(
     return sdf.mapInArrow(export_partition, EXPORT_META_SCHEMA)
 
 
+def import_orc(
+    spark: SparkSession,
+    orc_path: str,
+    warehouse_path: str,
+    snapshot: str,
+    **encode_kw,
+) -> dict:
+    """Interchange source, symmetric with export_orc: ingest standard ORC
+    files — written by ANY conforming writer (liborc, Spark's orc-core, or
+    this engine's own exporter) — into the warehouse through the same
+    single-shuffle encode pipeline. `spark.read.orc` (the JVM orc-core
+    reader) does the container/stream decode with full predicate/schema
+    handling; everything downstream (salting, rebalance, codec choice,
+    resume, blooms) is exactly encode_table, so a reference ORC user's
+    existing data migrates in with one call and no parquet detour.
+    `encode_kw` forwards encode_table's layout/tuning knobs (key_col,
+    source_col, weight_col, salt_buckets, stripe_tokens, ...); returns the
+    committed manifest."""
+    return encode_table(
+        spark, spark.read.orc(orc_path), warehouse_path, snapshot, **encode_kw
+    )
+
+
 def _multiset_diff_counts(a: DataFrame, b: DataFrame, cols: list[str]) -> dict:
     """Exact multiset difference via union with +1/-1 tags — one shuffle and
     one pass over each side (semantically identical to symmetric exceptAll,

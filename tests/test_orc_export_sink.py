@@ -158,3 +158,39 @@ def test_export_generic_events_warehouse(spark, tmp_path):
             rows.append((r["event_id"], r["ts"].replace(tzinfo=None), r["user_id"],
                          r["event_type"], r["value"], r["props"]))
     assert sorted(rows) == expect
+
+
+def test_import_orc_roundtrip(spark, tmp_path):
+    """Migration-in mirror of the export tests: foreign ORC files (written
+    by Spark's own orc-core writer) ingest via pipeline.import_orc into a
+    fresh warehouse whose decode is multiset-identical to the original
+    DataFrame — and a full export->import cycle through OUR OWN exporter's
+    files is equally lossless."""
+    from orc_spark.pipeline import import_orc
+
+    src = str(tmp_path / "foreign_orc")
+    wh = str(tmp_path / "wh")
+    df = spark.createDataFrame(tokens_arrow(5_000).to_pandas())
+    df.write.mode("overwrite").orc(src)
+
+    m = import_orc(
+        spark, src, wh, snapshot="imp", salt_buckets=2, stripe_tokens=30_000
+    )
+    assert sum(p["n_rows"] for p in m["partitions"].values()) == 5_000
+
+    def key(r):
+        return (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+
+    expect = sorted(key(r) for r in df.collect())
+    got = sorted(key(r) for r in decode_table(spark, wh, "imp").collect())
+    assert got == expect
+
+    # round 2: OUR exporter's ORC files feed import_orc (self-interchange)
+    out2, wh2 = str(tmp_path / "orc2"), str(tmp_path / "wh2")
+    export_orc(spark, wh, out2, snapshot="imp").collect()
+    import_orc(
+        spark, out2, wh2, snapshot="imp2", salt_buckets=2,
+        stripe_tokens=30_000,
+    )
+    got2 = sorted(key(r) for r in decode_table(spark, wh2, "imp2").collect())
+    assert got2 == expect
