@@ -169,6 +169,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return embeddings_warehouse_summary(spark, sf_dir)
 
+    def _q1_wh(spark, sf_dir):
+        _ship(spark)
+        # TPC-H Q1 with the engine as the storage layer: lineitem encoded,
+        # composite predicate pushed through all three prune levels,
+        # pricing aggregate over the decoded rows
+        from orc_spark.generic_tables import q1_warehouse
+
+        return q1_warehouse(spark, sf_dir)
+
     def _mm(spark, sf_dir):
         _ship(spark)
         return multimodal_meta(spark, sf_dir)
@@ -216,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asserts the partition-key file prune fired
         "events_warehouse": _ev,
         "events_pruned_scan": _ev_pruned,
+        # TPC-H Q1 over the decoded warehouse (lineitem: the widest-typed
+        # fixture table) under a composite pushed predicate
+        "q1_warehouse": _q1_wh,
         "embeddings_warehouse": _emb_wh,
         # text analysis
         "corpus_stats": textops.corpus_stats,
@@ -463,6 +475,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type IN ('click', 'purchase')
               AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705708800000000
             GROUP BY event_type
+        """,
+        # TPC-H Q1 over the DECODED warehouse under a composite pushed
+        # predicate (returnflag IN-set file prune + shipdate stripe stats);
+        # per-row products are order-deterministic IEEE, then floor-scale
+        # to BIGINT before SUM
+        "q1_warehouse": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge,
+                   count(*) AS count_order,
+                   CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'R')
+              AND epoch_us(l_shipdate) <= 867628800000000
+            GROUP BY l_returnflag, l_linestatus
         """,
         # squared-norm left fold == similarity._dot numerics: any mantissa
         # bit lost by the float codec shifts norm_sum

@@ -115,6 +115,68 @@ def events_pruned_scan(
         shutil.rmtree(wh, ignore_errors=True)
 
 
+# 1997-06-30 00:00 UTC — ~25% of the lineitem fixture passes the composite
+Q1_SHIP_HI_US = 867_628_800_000_000
+
+
+def q1_warehouse(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 4,
+    stripe_tokens: int = 6_000,
+) -> DataFrame:
+    """TPC-H Q1 THROUGH the warehouse: encode `lineitem` (int32/int64,
+    4 doubles, 2 strings, timestamp — the widest-typed fixture table) with
+    l_returnflag as the partition prefix, decode under the composite pushed
+    predicate l_returnflag IN ('A','R') AND l_shipdate <= 1997-06-30
+    (IN-set file prune + epoch-micro stripe stats + exact row filter), and
+    run the classic pricing aggregate over the DECODED rows. The DuckDB
+    oracle computes the same from raw parquet, so the engine sits inside
+    TPC-H's most-scanned query as the storage layer. Numerics per the
+    oracle-parity rules: every double folds to BIGINT per row (floor-scale
+    after the per-row product, which is order-deterministic IEEE) before
+    SUM. File pruning is asserted to actually fire."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pred = [
+        ("l_returnflag", ["A", "R"]),
+        ("l_shipdate", None, Q1_SHIP_HI_US),
+    ]
+    wh = tempfile.mkdtemp(prefix="orc_spark_gwh_")
+    try:
+        encode_table(
+            spark, li, wh, snapshot="gate_q1",
+            key_col="l_orderkey", source_col="l_returnflag", weight_col=None,
+            salt_buckets=salt_buckets, stripe_tokens=stripe_tokens,
+        )
+        metrics: dict = {}
+        dec = decode_table(
+            spark, wh, "gate_q1", predicate=pred, prune_metrics=metrics
+        )
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc_price * (1 + F.col("l_tax"))
+
+        def micros(c):
+            return F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")
+
+        out = (
+            dec.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(micros(F.col("l_quantity"))).cast("long").alias("sum_qty"),
+                F.sum(micros(F.col("l_extendedprice"))).cast("long").alias("sum_base"),
+                F.sum(micros(disc_price)).cast("long").alias("sum_disc_price"),
+                F.sum(micros(charge)).cast("long").alias("sum_charge"),
+                F.count(F.lit(1)).cast("long").alias("count_order"),
+                F.expr("bit_xor(l_orderkey)").cast("long").alias("key_xor"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        if not metrics.get("files_pruned"):
+            raise AssertionError(f"returnflag file pruning did not fire: {metrics}")
+        return out
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def embeddings_warehouse_summary(
     spark: SparkSession,
     sf_dir: str,
