@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": similarity.embedding_quantize,
         "ivf_assign": similarity.ivf_assign,
         "ivf_list_sizes": similarity.ivf_list_sizes,
+        # IVF ANN search: nprobe nearest lists per query, exact refine
+        # inside them only — the scale path topk_cosine baselines
+        "ivf_topk": similarity.ivf_topk,
         "token_counts_bpe": textops.token_counts_bpe,
         # multimodal plumbing
         "multimodal_meta": _mm,
@@ -739,6 +742,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cid AS list_id, d2_f6
             FROM s
             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2_f6 ASC, cid ASC) = 1
+        """,
+        # IVF ANN search: same assign argmin, same probe ranking, exact
+        # cosine refine ONLY inside each query's nprobe nearest lists —
+        # the deterministic recall loss vs exact topk_cosine is identical
+        # in both engines, so the hash gates the whole search path
+        "ivf_topk": f"""
+            WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+            assign AS (
+              SELECT vec_id, cid AS list_id FROM (
+                SELECT e.vec_id, c.cid,
+                       CAST(floor((
+                         {_FOLD_DOT.format(a='e.embedding', b='e.embedding')}
+                         - 2 * {_FOLD_DOT.format(a='e.embedding', b='c.cv')}
+                         + {_FOLD_DOT.format(a='c.cv', b='c.cv')}
+                       ) * 1000000) AS BIGINT) AS d2_f6
+                FROM embeddings e, c)
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2_f6 ASC, cid ASC) = 1
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            probes AS (
+              SELECT query_id, qv, cid AS list_id FROM (
+                SELECT q.query_id, q.qv, c.cid,
+                       CAST(floor((
+                         {_FOLD_DOT.format(a='q.qv', b='q.qv')}
+                         - 2 * {_FOLD_DOT.format(a='q.qv', b='c.cv')}
+                         + {_FOLD_DOT.format(a='c.cv', b='c.cv')}
+                       ) * 1000000) AS BIGINT) AS d2_f6
+                FROM q, c)
+              QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2_f6 ASC, cid ASC) <= 4
+            ),
+            sims AS (
+              SELECT p.query_id, e.vec_id AS cand_id,
+                     CAST(floor(
+                       {_FOLD_DOT.format(a='p.qv', b='e.embedding')}
+                       / (sqrt({_FOLD_DOT.format(a='p.qv', b='p.qv')})
+                          * sqrt({_FOLD_DOT.format(a='e.embedding', b='e.embedding')}))
+                       * 1000000) AS BIGINT) AS sim_f6
+              FROM probes p
+              JOIN assign a ON a.list_id = p.list_id
+              JOIN embeddings e ON e.vec_id = a.vec_id
+              WHERE e.vec_id <> p.query_id)
+            SELECT query_id, cand_id, sim_f6,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_f6 DESC, cand_id ASC) AS INTEGER) AS rnk
+            FROM sims
+            QUALIFY rnk <= 5
         """,
         "embed_dup_pairs": f"""
             WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),

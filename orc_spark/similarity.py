@@ -344,3 +344,83 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         F.floor(err * 1_000_000).cast("long").alias("max_err_f6"),
     )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    n_lists: int = N_IVF_LISTS,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN SEARCH — the scale path topk_cosine is the exact baseline
+    for: rank the centroids per query, probe only the `nprobe` nearest
+    inverted lists, exact-cosine refine within them, top-k. Work per query
+    is O(nprobe/n_lists) of the corpus instead of all of it.
+
+    Plan shape at 100 TB: the assignment join is the stored IVF index (here
+    re-derived via ivf_assign — one broadcast pass + a map-side-combined
+    argmin — then one shuffle on vec_id to attach vectors; a production
+    index persists list_id as a column, making that join free). The probe
+    table (n_queries x nprobe rows, query vector attached) BROADCASTS to
+    the corpus join on list_id, so the search itself never shuffles the
+    corpus; the final top-k uses the same partial WindowGroupLimit shape as
+    topk_cosine. Same floor/fold numeric discipline as ivf_assign +
+    topk_cosine, so the DuckDB oracle reproduces every value bit-exactly
+    (IVF recall loss vs the exact baseline is deterministic and identical
+    in both engines)."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.join(ivf_assign(spark, sf_dir, n_lists).select("vec_id", "list_id"), "vec_id")
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cents = emb.where(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    d2 = (
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("cv"))
+        + _dot(F.col("cv"), F.col("cv"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("d2_f6").asc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "cid",
+            F.floor(d2 * 1_000_000).cast("long").alias("d2_f6"),
+        )
+        .withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("list_id"))
+    )
+    sims = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.floor(
+                _dot(F.col("qv"), F.col("embedding"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("sim_f6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_f6").desc(), F.col("cand_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "sim_f6", "rnk")
+    )

@@ -121,6 +121,22 @@ def test_topk_cosine_prereduced_window(spark):
     assert "Partial" in plan  # the pre-exchange top-k reduction
 
 
+def test_ivf_topk_broadcast_probes_no_corpus_shuffle_for_search(spark):
+    """the IVF search joins the corpus to the broadcast probe table and
+    refines inside probed lists only: both search-side joins must be
+    broadcast (a SortMergeJoin would shuffle the corpus per query batch),
+    and the final top-k must keep topk_cosine's partial WindowGroupLimit
+    pre-reduction."""
+    from orc_spark.similarity import ivf_topk
+
+    df = ivf_topk(spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_codec_plan_report_no_driver_collect(spark):
     """codec_plan probe runs executor-side: the plan ends in mapInArrow over
     a 1-partition limit, with no toPandas/collect of the input."""
