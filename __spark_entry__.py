@@ -231,6 +231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_warehouse": _emb_wh,
         # text analysis
         "corpus_stats": textops.corpus_stats,
+        # sequence packing (concat-and-chunk to 512-token training rows)
+        # and deterministic hash-threshold train/val/test stratification
+        "pack_sequences": textops.pack_sequences,
+        "split_assign": textops.split_assign,
         "token_counts": textops.token_counts,
         "quality_scores": textops.quality_scores,
         "lang_guess": textops.lang_guess,
@@ -602,6 +606,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(CAST(sum(n_chars) AS DOUBLE)/count(*)*10000) AS BIGINT) AS avg_chars_f4,
                    count(DISTINCT lang) AS n_langs
             FROM documents GROUP BY source
+        """,
+        # concat-and-chunk sequence packing: exclusive-cumsum start offsets
+        # over (source, doc_id order), sequence = floor(start/512); window
+        # frames are ROWS-bounded in BOTH engines (doc_id is unique, so the
+        # default RANGE frame would agree, but explicit is safer)
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id, source, len(string_split(text,' ')) AS n_tok
+              FROM documents),
+            c AS (
+              SELECT source, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM d)
+            SELECT source,
+                   CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT) AS seq_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS tokens_started,
+                   CAST(sum(CASE WHEN floor(CAST(cum - 1 AS DOUBLE) / 512)
+                                    > floor(CAST(cum - n_tok AS DOUBLE) / 512)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+            FROM c GROUP BY source, seq_id
+        """,
+        # hash-threshold train/val/test stratification: split membership is
+        # a pure md5-prefix function of doc_id, identical in any engine
+        "split_assign": f"""
+            WITH d AS (
+              SELECT source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} % 100 AS h,
+                     len(string_split(text,' ')) AS n_tok
+              FROM documents)
+            SELECT source,
+                   CASE WHEN h < 5 THEN 'val'
+                        WHEN h < 10 THEN 'test'
+                        ELSE 'train' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM d GROUP BY source, split
         """,
         "token_counts": """
             SELECT doc_id,

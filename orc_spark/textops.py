@@ -567,3 +567,83 @@ def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sim = t if sim is None else sim + t
     return votes.select("doc_id", sim.alias("simhash"))
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, seq_len: int = 512
+) -> DataFrame:
+    """Sequence packing — the canonical pretraining data op: concatenate
+    each source's token stream in deterministic (doc_id) order and chunk it
+    into fixed `seq_len` training sequences (concat-and-chunk packing: docs
+    may split across a boundary, attention masks reset downstream). Offsets
+    are closed-form — one window cumsum per source, no iteration: a doc's
+    start offset is the exclusive cumsum of n_tok, its sequence is
+    floor(start / seq_len). Returns per (source, seq_id): docs starting
+    there, their token mass, and how many straddle the boundary.
+
+    Scale: ONE shuffle on source; the per-source cumsum is inherently
+    sequential (packing is order-defined) — at 100 TB the partition key
+    stays the source exactly like the encode pipeline's pid prefix, and a
+    giant source is pre-chunked upstream by the same size-aware rebalance
+    the encoder uses (offsets then re-base per chunk)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w).alias("cum"),
+    )
+    start_seq = F.floor((F.col("cum") - F.col("n_tok")) / seq_len)
+    end_seq = F.floor((F.col("cum") - 1) / seq_len)
+    return (
+        c.select(
+            "source",
+            "n_tok",
+            start_seq.cast("long").alias("seq_id"),
+            (end_seq > start_seq).cast("int").alias("splits"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens_started"),
+            F.sum("splits").cast("long").alias("n_split_docs"),
+        )
+    )
+
+
+def split_assign(
+    spark: SparkSession, sf_dir: str, val_pct: int = 5, test_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test split — hash-threshold assignment on
+    doc_id (md5-prefix, engine-portable), so membership is a pure function
+    of the row: stable under reruns, resumes, and repartitioning, and any
+    engine can recompute it. Returns per (source, split): docs and token
+    mass — the stratification report that catches a skewed split before a
+    training run does. Narrow map + one map-side-combined shuffle."""
+    h = F.pmod(_h48(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(h < val_pct, F.lit("val"))
+        .when(h < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
