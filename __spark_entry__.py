@@ -235,6 +235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and deterministic hash-threshold train/val/test stratification
         "pack_sequences": textops.pack_sequences,
         "split_assign": textops.split_assign,
+        # benchmark decontamination (shingle overlap vs a held-out hash
+        # slice) and intra-doc repetition screening
+        "decontaminate": textops.decontaminate,
+        "repetition_scores": textops.repetition_scores,
         "token_counts": textops.token_counts,
         "quality_scores": textops.quality_scores,
         "lang_guess": textops.lang_guess,
@@ -644,6 +648,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_tok) AS BIGINT) AS n_tokens
             FROM d GROUP BY source, split
+        """,
+        # decontamination: training docs sharing any 3-word shingle with
+        # the benchmark slice (h48(doc_id) % 50 == 0); shingles are per-doc
+        # distinct so the count is exact set overlap
+        "decontaminate": f"""
+            WITH s AS ({{shingles}}),
+            b AS (SELECT DISTINCT shingle FROM s
+                  WHERE {_H48.format(x='CAST(doc_id AS VARCHAR)')} % 50 = 0),
+            t AS (SELECT * FROM s
+                  WHERE {_H48.format(x='CAST(doc_id AS VARCHAR)')} % 50 <> 0)
+            SELECT t.doc_id, count(*) AS n_overlap_shingles
+            FROM t JOIN b USING (shingle)
+            GROUP BY t.doc_id
+        """.format(shingles=_SHINGLES),
+        # intra-doc repetition: duplicate-shingle ratio, floor-scaled
+        "repetition_scores": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+                          ELSE [] END AS sh
+              FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
+            SELECT doc_id,
+                   CAST(len(sh) AS INTEGER) AS n_shingles,
+                   CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
+                   CASE WHEN len(sh) > 0
+                        THEN CAST(floor((len(sh) - len(list_distinct(sh)))
+                                        / CAST(len(sh) AS DOUBLE) * 10000) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS rep_f4
+            FROM d
         """,
         "token_counts": """
             SELECT doc_id,

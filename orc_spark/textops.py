@@ -647,3 +647,59 @@ def split_assign(
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+def decontaminate(
+    spark: SparkSession, sf_dir: str, k: int = 3, bench_mod: int = 50
+) -> DataFrame:
+    """Benchmark decontamination — flag training docs sharing any k-word
+    shingle with a held-out benchmark set, the standard pre-training hygiene
+    pass. With no external data in the sandbox the benchmark is the
+    deterministic md5-hash slice h48(doc_id) % bench_mod == 0 (~2% of the
+    corpus); in production it is the eval suite's text — the mechanics are
+    identical. Returns the flagged docs with their overlapping-shingle
+    count (shingles are per-doc distinct, so the count is set-overlap).
+
+    Scale: the benchmark's DISTINCT shingles are a small table that
+    BROADCASTS; the corpus shingle stream is touched once with one
+    map-side-combined count — never an all-pairs, never a corpus shuffle
+    beyond the count itself."""
+    sh = shingles(spark, sf_dir, k)
+    in_bench = F.pmod(_h48(F.col("doc_id").cast("string")), F.lit(bench_mod)) == 0
+    bench_sh = sh.where(in_bench).select("shingle").distinct()
+    return (
+        sh.where(~in_bench)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_shingles"))
+    )
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Intra-document repetition — the duplicate-shingle ratio screens that
+    quality filters apply to drop boilerplate/looping text: per doc, total
+    k-word shingles, distinct shingles, and the floor-scaled duplicate
+    fraction. Narrow map, no shuffle."""
+    base = _docs(spark, sf_dir).select("doc_id", _words().alias("w"))
+    w = F.col("w")
+    sh = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    d = base.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).alias("n_distinct"),
+    )
+    rep = F.when(
+        F.col("n_shingles") > 0,
+        F.floor(
+            (F.col("n_shingles") - F.col("n_distinct"))
+            / F.col("n_shingles").cast("double")
+            * 10_000
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return d.select("doc_id", "n_shingles", "n_distinct", rep.alias("rep_f4"))
