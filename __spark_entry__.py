@@ -253,6 +253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": textops.minhash_signatures,
         "minhash_candidates": textops.minhash_candidates,
         "dedup_clusters": textops.dedup_clusters,
+        # identical clustering contract via the O(log d) large-star/
+        # small-star alternation — the adversarial-diameter scale path,
+        # gated against the SAME reachability oracle as the default
+        "dedup_clusters_star": lambda spark, sf_dir: textops.dedup_clusters(
+            spark, sf_dir, algorithm="star"
+        ),
         "simhash": textops.simhash32,
         # similarity search. embed_dup_pairs / lsh_refined_pairs keep their
         # true near-dup default (0.99) for API callers; the gate
@@ -332,6 +338,14 @@ _LSH_W = (
 
 
 def oracle_sql() -> dict[str, str]:
+    o = _oracle_sql_base()
+    # the star algorithm must produce the IDENTICAL clustering: same
+    # reachability oracle as the default label-propagation entry
+    o["dedup_clusters_star"] = o["dedup_clusters"]
+    return o
+
+
+def _oracle_sql_base() -> dict[str, str]:
     h48_text = _H48.format(x="text")
     h48_word = _H48.format(x="x")
     return {
