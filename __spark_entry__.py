@@ -169,6 +169,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return embeddings_warehouse_summary(spark, sf_dir)
 
+    def _docs_wh(spark, sf_dir):
+        _ship(spark)
+        # raw documents (long free-text strings) through the warehouse:
+        # the decoded text re-hashes per row, so one flipped byte in the
+        # string path flips the gate
+        from orc_spark.generic_tables import documents_warehouse
+
+        return documents_warehouse(spark, sf_dir)
+
     def _q1_wh(spark, sf_dir):
         _ship(spark)
         # TPC-H Q1 with the engine as the storage layer: lineitem encoded,
@@ -228,6 +237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H Q1 over the decoded warehouse (lineitem: the widest-typed
         # fixture table) under a composite pushed predicate
         "q1_warehouse": _q1_wh,
+        # long free-text strings through the string DATA path
+        "documents_warehouse": _docs_wh,
         "embeddings_warehouse": _emb_wh,
         # text analysis
         "corpus_stats": textops.corpus_stats,
@@ -500,6 +511,17 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE event_type IN ('click', 'purchase')
               AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705708800000000
             GROUP BY event_type
+        """,
+        # long-string path: every decoded text re-hashed (md5 prefix) and
+        # summed per (source, lang) — a flipped byte in any decoded string
+        # flips text_hash_sum
+        "documents_warehouse": f"""
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum({_H48.format(x='text')} % 1000003) AS BIGINT) AS text_hash_sum,
+                   CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+            FROM documents GROUP BY source, lang
         """,
         # TPC-H Q1 over the DECODED warehouse under a composite pushed
         # predicate (returnflag IN-set file prune + shipdate stripe stats);

@@ -212,3 +212,35 @@ def embeddings_warehouse_summary(
         key_col="vec_id", source_col=None, weight_col=None,
         salt_buckets=salt_buckets, stripe_tokens=stripe_tokens,
     )
+
+
+def documents_warehouse(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 4,
+    stripe_tokens: int = 400_000,
+) -> DataFrame:
+    """The RAW documents table (long free-text strings, hundreds of chars —
+    a different string shape from the short ids/labels every other gate
+    encodes) through the warehouse: the text column exercises the string
+    DATA path's direct-vs-dictionary-vs-FSST choice on genuinely long
+    values. The rollup hashes every decoded text (md5-prefix) and sums the
+    hashes per (source, lang), so one flipped byte anywhere in a decoded
+    string flips the value hash. weight_col=n_chars drives stripe sizing by
+    actual string mass, not row count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def rollup(dec: DataFrame) -> DataFrame:
+        h = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long")
+        return dec.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(h % 1_000_003).cast("long").alias("text_hash_sum"),
+            F.expr("bit_xor(doc_id)").cast("long").alias("id_xor"),
+        )
+
+    return _through_warehouse(
+        spark, docs, "gate_documents", rollup,
+        key_col="doc_id", source_col="source", weight_col="n_chars",
+        salt_buckets=salt_buckets, stripe_tokens=stripe_tokens,
+    )
