@@ -291,6 +291,72 @@ def expire_snapshots(
     return {"files_deleted": n, "snapshots": list(expire)}
 
 
+def vacuum_orphans(
+    warehouse_path: str,
+    min_age_s: float = 0.0,
+    include_uncommitted: bool = False,
+) -> dict:
+    """Remove-orphan-files (the Iceberg `remove_orphan_files` analog):
+    delete data files and bloom sidecars on disk that NO manifest
+    references. Three classes, handled differently:
+
+      * `*.inprogress-*` temps — always garbage once older than
+        `min_age_s` (a live task's temp is younger; production uses hours,
+        tests 0);
+      * `snap-<id>.parquet` whose id has NO manifest at all — an encode
+        that died before its first commit; deleted past `min_age_s`;
+      * complete files of a LIVE snapshot whose pid is not committed —
+        these are the resume path's ADOPTION candidates (warehouse.
+        orphan_files) and are KEPT unless `include_uncommitted=True`
+        (deleting them is safe — resume re-encodes — but wastes work).
+
+    Committed files are never touched: the manifest set is the root of
+    reachability, exactly like Iceberg's metadata tree. Returns
+    {'files_deleted', 'bytes_deleted', 'kept_adoptable'}."""
+    wh = Warehouse(warehouse_path)
+    manifests = {
+        f[len("snap-"):-len(".json")]
+        for f in os.listdir(wh.manifest_dir)
+        if f.startswith("snap-") and f.endswith(".json")
+    }
+    committed: set[str] = set()
+    for snap in manifests:
+        m = wh.read_manifest(snap)
+        committed.update(p["file"] for p in (m or {}).get("partitions", {}).values())
+    now = time.time()
+    deleted = bytes_deleted = kept = 0
+    for root, _, files in os.walk(wh.data_dir):
+        for f in files:
+            full = os.path.join(root, f)
+            if full in committed or full[: -len(".bloom.json")] in committed:
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # raced with a concurrent delete/rename
+            if age < min_age_s:
+                continue
+            if ".inprogress-" in f:
+                pass  # always garbage past the age threshold
+            else:
+                snap = f.split("snap-", 1)[-1].split(".")[0] if "snap-" in f else None
+                if snap in manifests and not include_uncommitted:
+                    kept += 1  # adoption candidate for a resume of `snap`
+                    continue
+            try:
+                sz = os.path.getsize(full)
+                os.remove(full)
+                deleted += 1
+                bytes_deleted += sz
+            except OSError:
+                pass
+    return {
+        "files_deleted": deleted,
+        "bytes_deleted": bytes_deleted,
+        "kept_adoptable": kept,
+    }
+
+
 def _main() -> None:
     """spark-submit / python -m orc_spark.maintenance — the operational
     counterpart of job.py for warehouse upkeep:

@@ -161,3 +161,54 @@ def test_expire_refuses_current(spark, epochs_wh):
     cur = Warehouse(epochs_wh).current_snapshot_id()
     with pytest.raises(ValueError, match="CURRENT"):
         expire_snapshots(epochs_wh, [cur])
+
+
+def test_vacuum_orphans(spark, tmp_path):
+    """vacuum deletes dead-run files and stale temps, NEVER committed files,
+    and keeps (by default) the resume path's adoption candidates."""
+    from orc_spark.fixtures import tokens_arrow
+    from orc_spark.maintenance import vacuum_orphans
+
+    wh_path = str(tmp_path / "wh")
+    df = spark.createDataFrame(tokens_arrow(2_000).to_pandas())
+    encode_table(spark, df, wh_path, snapshot="live", salt_buckets=2,
+                 stripe_tokens=50_000)
+    wh = Warehouse(wh_path)
+    committed = wh.committed_files("live")
+    assert committed
+
+    # plant garbage: a dead run's data file (no manifest), a stale temp,
+    # and an adoption candidate (complete file of the LIVE snapshot whose
+    # pid is not committed — copy a real one so it is valid parquet)
+    pid_dir = os.path.dirname(committed[0])
+    dead = os.path.join(pid_dir, "snap-deadrun.parquet")
+    temp = committed[0] + ".inprogress-deadbeef"
+    adopt = os.path.join(pid_dir, "snap-live.parquet")
+    import shutil as _sh
+
+    _sh.copy(committed[0], dead)
+    _sh.copy(committed[0], temp)
+    adopt_pid_dir = os.path.join(wh.data_dir, "pid=planted#9")
+    os.makedirs(adopt_pid_dir)
+    adopt = os.path.join(adopt_pid_dir, "snap-live.parquet")
+    _sh.copy(committed[0], adopt)
+
+    res = vacuum_orphans(wh_path)
+    assert not os.path.exists(dead) and not os.path.exists(temp)
+    assert os.path.exists(adopt)  # adoption candidate kept by default
+    assert all(os.path.exists(f) for f in committed)
+    assert res["files_deleted"] == 2 and res["kept_adoptable"] == 1
+
+    # age threshold: fresh garbage survives a min_age_s vacuum
+    _sh.copy(committed[0], dead)
+    assert vacuum_orphans(wh_path, min_age_s=3600)["files_deleted"] == 0
+    assert os.path.exists(dead)
+
+    # include_uncommitted sweeps the adoption candidate too
+    res2 = vacuum_orphans(wh_path, include_uncommitted=True)
+    assert not os.path.exists(adopt) and not os.path.exists(dead)
+    assert res2["kept_adoptable"] == 0
+
+    # the table still decodes bit-identically after both vacuums
+    dec = decode_table(spark, wh_path, "live")
+    assert dec.exceptAll(df).count() == 0 and df.exceptAll(dec).count() == 0
