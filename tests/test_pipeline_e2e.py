@@ -3,6 +3,7 @@ plus checkpoint/resume semantics (committed partitions skipped, orphan files
 from a killed run adopted, only missing partitions re-encoded)."""
 
 import json
+import glob
 import os
 import shutil
 
@@ -220,3 +221,65 @@ def test_generic_table_layouts_roundtrip(spark, tmp_path):
     got2 = decode_table(spark, wh, "ev", predicate=[("event_type", [etype])], prune_metrics=pm2)
     assert got2.count() == ev.filter(F.col("event_type") == etype).count()
     assert pm2["files_pruned"] > 0
+
+
+def test_sigkill_mid_encode_then_resume(spark, tmp_path):
+    """The north rule's resume clause, tested for real: SIGKILL the whole
+    process GROUP of a running `python job.py` encode (driver + JVM +
+    Python workers — killing only the driver would orphan a JVM that keeps
+    writing), then re-run the identical command. The resumed run must adopt
+    the killed run's complete-but-uncommitted files and/or re-encode the
+    rest, commit a full manifest, and decode bit-identically."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from orc_spark.fixtures import tokens_arrow
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp = str(tmp_path / "tokens.parquet")
+    wh = str(tmp_path / "wh")
+    df_t = tokens_arrow(150_000)  # ~60M tokens: encode outlives the kill poll
+    pq.write_table(df_t, inp, row_group_size=8192)
+    cmd = [
+        _sys.executable, os.path.join(repo, "job.py"),
+        "--input", inp, "--warehouse", wh,
+        "--snapshot", "s1", "--cpus", "4",
+    ]
+    p = subprocess.Popen(
+        cmd, cwd=repo, start_new_session=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    # kill as soon as at least one data file has been atomically renamed in
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        if glob.glob(f"{wh}/data/pid=*/snap-s1.parquet"):
+            break
+        if p.poll() is not None:
+            pytest.fail("job finished before any data file appeared")
+        _time.sleep(0.05)
+    else:
+        pytest.fail("no data file appeared within 180s")
+    os.killpg(p.pid, signal.SIGKILL)
+    p.wait()
+
+    w = Warehouse(wh)
+    survivors = w.orphan_files("s1")
+    assert w.read_manifest("s1") is None  # killed before the single commit
+    assert survivors, "kill landed before any complete file existed"
+
+    out = subprocess.run(
+        cmd, cwd=repo, capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    m = w.read_manifest("s1")
+    assert m is not None
+    adopted = [p_ for p_ in m["partitions"].values() if p_.get("adopted")]
+    assert adopted, "resume adopted none of the killed run's files"
+    df = spark.createDataFrame(df_t.to_pandas())
+    dec = decode_table(spark, wh, "s1")
+    assert dec.exceptAll(df).count() == 0 and df.exceptAll(dec).count() == 0
