@@ -187,23 +187,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc: (doc_id, shingle). Narrow map +
-    explode; output rows ≈ docs × words — the working set of all near-dup
-    ops. k=3 matches common web-dedup practice."""
-    # materialize the split ONCE as an attribute: inlining `split()` into the
-    # transform lambda makes Catalyst re-evaluate it per element (O(words²))
-    base = _docs(spark, sf_dir).select("doc_id", _words().alias("w"))
-    w = F.col("w")
-    # guard: Spark's sequence(1, 0) DESCENDS instead of yielding [], so short
-    # docs need an explicit empty-array branch
-    sh = F.when(
+def _shingle_expr(w: Column, k: int) -> Column:
+    """k-word shingle array over a materialized word-array column. The
+    split must be a named attribute, NOT inlined into the lambda (Catalyst
+    re-evaluates an inlined split per element — O(words²)); Spark's
+    sequence(1, 0) DESCENDS instead of yielding [], so short docs take an
+    explicit empty-array branch."""
+    return F.when(
         F.size(w) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - (k - 1)),
             lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+def shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc: (doc_id, shingle). Narrow map +
+    explode; output rows ≈ docs × words — the working set of all near-dup
+    ops. k=3 matches common web-dedup practice."""
+    base = _docs(spark, sf_dir).select("doc_id", _words().alias("w"))
+    sh = _shingle_expr(F.col("w"), k)
     return base.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
@@ -681,14 +685,7 @@ def repetition_scores(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
     k-word shingles, distinct shingles, and the floor-scaled duplicate
     fraction. Narrow map, no shuffle."""
     base = _docs(spark, sf_dir).select("doc_id", _words().alias("w"))
-    w = F.col("w")
-    sh = F.when(
-        F.size(w) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (k - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    sh = _shingle_expr(F.col("w"), k)
     d = base.select(
         "doc_id",
         F.size(sh).alias("n_shingles"),
