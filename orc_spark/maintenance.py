@@ -291,14 +291,22 @@ def expire_snapshots(
     return {"files_deleted": n, "snapshots": list(expire)}
 
 
+VACUUM_MIN_AGE_S = 3 * 24 * 3600.0  # Iceberg remove_orphan_files' default
+
+
 def vacuum_orphans(
     warehouse_path: str,
-    min_age_s: float = 0.0,
+    min_age_s: float = VACUUM_MIN_AGE_S,
     include_uncommitted: bool = False,
 ) -> dict:
     """Remove-orphan-files (the Iceberg `remove_orphan_files` analog):
     delete data files and bloom sidecars on disk that NO manifest
-    references. Three classes, handled differently:
+    references. `min_age_s` defaults to 3 days (Iceberg's
+    remove_orphan_files default) because a vacuum racing a FIRST-TIME
+    encode — which publishes no manifest until its final commit — would
+    otherwise delete the run's already-renamed data files and in-flight
+    temps out from under it; `min_age_s=0` is for tests only, safe solely
+    when no encode can be running. Three classes, handled differently:
 
       * `*.inprogress-*` temps — always garbage once older than
         `min_age_s` (a live task's temp is younger; production uses hours,

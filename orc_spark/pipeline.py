@@ -403,7 +403,7 @@ def encode_table(
     if resume:
         adopted = {}
         for pid, f in wh.orphan_files(snapshot).items():
-            v = wh.validate_data_file(f)
+            v = wh.validate_data_file(f, key_col=key_col)
             if v is not None:
                 adopted[pid] = {**v, "file": f, "adopted": True, "encode_s": 0.0}
         if adopted:
@@ -539,10 +539,15 @@ def file_matches(
     for p in preds:
         col = p[1]
         if col == key_col:
-            mn, mx = part["min_doc_id"], part["max_doc_id"]
+            mn, mx = part.get("min_doc_id"), part.get("max_doc_id")
+            # "" or absent = no recorded range — cannot exclude, for EVERY
+            # key type: compact_snapshots writes "" when a source partition
+            # lacked a range, and adopted resume partitions may carry no
+            # keys at all; comparing the "" sentinel as a real string range
+            # would silently prune live rows
+            if mn in ("", None) or mx in ("", None):
+                continue
             if key_parse is not None:
-                if mn == "" or mx == "":  # no recorded range: cannot exclude
-                    continue
                 mn, mx = key_parse(mn), key_parse(mx)
             if not _pred_matches_range(p, mn, mx):
                 return False

@@ -62,6 +62,50 @@ class Warehouse:
             return None
         return json.load(open(f))
 
+    def commit_log(self) -> list[str]:
+        """Snapshot names in COMMIT order — the warehouse's tiny append-only
+        sequence (manifests/COMMITLOG, one ~30-byte line per snapshot,
+        appended by commit()). This is what lets a stream reader's offset be
+        a single integer position instead of the full set of consumed names
+        (which grows without bound on a long-tailed warehouse). Self-heals:
+        committed manifests missing from the log (pre-log warehouses, a
+        crash between manifest rename and log append) are appended in
+        sorted order on read; expired snapshots KEEP their line (positions
+        already handed out as offsets must stay stable), and readers skip
+        names whose manifest is gone. Duplicate lines (two healers racing)
+        dedupe to first occurrence, so positions are stable once written."""
+        logf = os.path.join(self.manifest_dir, "COMMITLOG")
+        lines: list[str] = []
+        seen: set[str] = set()
+        if os.path.exists(logf):
+            for ln in open(logf).read().splitlines():
+                ln = ln.strip()
+                if ln and ln not in seen:
+                    seen.add(ln)
+                    lines.append(ln)
+        missing = sorted(
+            f[len("snap-"):-len(".json")]
+            for f in os.listdir(self.manifest_dir)
+            if f.startswith("snap-") and f.endswith(".json")
+            and f[len("snap-"):-len(".json")] not in seen
+        )
+        if missing:
+            with open(logf, "a") as fh:
+                for name in missing:
+                    fh.write(name + "\n")
+            lines.extend(missing)
+        return lines
+
+    def _log_commit(self, snapshot: str) -> None:
+        logf = os.path.join(self.manifest_dir, "COMMITLOG")
+        existing = (
+            set(open(logf).read().splitlines()) if os.path.exists(logf) else set()
+        )
+        if snapshot not in existing:
+            # single short O_APPEND write: atomic on POSIX, no torn lines
+            with open(logf, "a") as fh:
+                fh.write(snapshot + "\n")
+
     def commit(self, snapshot: str, partitions: dict[str, dict], schema: dict, extra: dict | None = None) -> dict:
         """Atomically (tmp+rename) write the manifest and advance CURRENT.
 
@@ -84,6 +128,7 @@ class Warehouse:
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, self.manifest_file(snapshot))
+        self._log_commit(snapshot)
         fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             fh.write(snapshot)
@@ -111,21 +156,49 @@ class Warehouse:
                 out[pid] = f
         return out
 
-    def validate_data_file(self, path: str) -> dict | None:
+    def validate_data_file(self, path: str, key_col: str | None = None) -> dict | None:
         """Adopt-check for orphans: parquet readable, stripe rows well-formed.
-        Returns summary metrics or None if invalid."""
+        Returns summary metrics or None if invalid. With `key_col`, also
+        recovers the file's key range from the stripe footers (stripes are
+        key-sorted and their footers carry min/max stats), so an adopted
+        partition participates in manifest range pruning like any other;
+        when any stripe lacks the stats (e.g. a nullable key) the range is
+        left as the "" cannot-exclude sentinel file_matches expects."""
         try:
+            import json as _json
+
             import pyarrow.parquet as pq
 
-            t = pq.read_table(path, columns=["pid", "n_rows", "n_tokens", "enc_bytes"])
+            cols = ["pid", "n_rows", "n_tokens", "enc_bytes"]
+            if key_col:
+                cols.append("footer")
+            t = pq.read_table(path, columns=cols)
             if t.num_rows == 0:
                 return None
-            return {
+            out = {
                 "n_rows": int(sum(t.column("n_rows").to_pylist())),
                 "n_tokens": int(sum(t.column("n_tokens").to_pylist())),
                 "enc_bytes": int(sum(t.column("enc_bytes").to_pylist())),
                 "stripes": t.num_rows,
             }
+            if key_col:
+                mn = mx = None
+                for fj in t.column("footer").to_pylist():
+                    st = (
+                        _json.loads(fj)["columns"].get(key_col, {}).get("stats")
+                        or {}
+                    )
+                    smn, smx = st.get("min"), st.get("max")
+                    if smn is None or smx is None:
+                        mn = mx = None
+                        break
+                    mn = smn if mn is None else min(mn, smn)
+                    mx = smx if mx is None else max(mx, smx)
+                render = lambda v: (
+                    "" if v is None else v if isinstance(v, str) else _json.dumps(v)
+                )
+                out["min_doc_id"], out["max_doc_id"] = render(mn), render(mx)
+            return out
         except Exception:
             return None
 
