@@ -21,13 +21,17 @@ levels through `DataSourceReader.pushFilters`:
     (pipeline.decode_blob_batches): stripe-stats skip, stripe-bloom skip,
     then the exact arrow row filter — yielding Arrow RecordBatches straight
     into Spark's arrow ingestion;
-  - filters fully handled here (EqualTo / In / >= / <= on scalar
-    non-timestamp columns) are consumed, so Spark does not re-evaluate
-    them; strict < / > are used as conservative inclusive PRUNE HINTS and
-    returned to Spark for the exact residual; everything else is returned
-    untouched. Timestamp filters are not pushed (Catalyst hands them over
-    as datetimes whose tz interpretation differs from the engine's
-    epoch-micro stats; the native decode_table predicate API takes micros).
+  - filters fully handled here (EqualTo / In / >= / <= with int/str probes
+    on scalar int/string columns, int/float probes on float/double columns)
+    are consumed, so Spark does not re-evaluate them; strict < / > are used
+    as conservative inclusive PRUNE HINTS and returned to Spark for the
+    exact residual. Timestamp filters (Catalyst hands datetime probe
+    values) are translated to epoch counts at the column's stored unit
+    (stripe.py stores timestamps as epoch ints at the arrow unit) and
+    pushed as PRUNE HINTS ONLY, bounds rounded conservatively (lower
+    floored, upper ceiled) and the original filter always returned to
+    Spark for exact evaluation — so a tz/unit mismatch can widen the scan
+    but never change results; everything else is returned untouched.
   - column pruning: pass an explicit narrower `.schema(...)` and only those
     columns' streams are decompressed (the Python DS API does not forward
     Catalyst's column pruning, so the full-schema default decodes all
@@ -79,7 +83,33 @@ from pyspark.sql.types import StructType
 
 
 def register(spark) -> None:
-    spark.dataSource.register(TokstripeDataSource)
+    """Register the format on `spark` — ANY session, not just the engine's
+    get_spark. Spark 4.1 hard-fails a reader that overrides pushFilters when
+    `spark.sql.python.filterPushdown.enabled` is false (its default) —
+    [DATA_SOURCE_PUSHDOWN_DISABLED], not a silent no-pushdown — so enable
+    the conf here (it is runtime-settable; verified on live sessions). If
+    the session refuses the conf, register the fallback datasource whose
+    reader does NOT override pushFilters: reads degrade to
+    unpruned-but-correct (Spark evaluates every filter itself) instead of
+    erroring. The registry is shared across sessions of one SparkContext
+    (re-registering the name raises DATA_SOURCE_ALREADY_EXISTS), so a
+    repeat register() is a no-op for the registry but still sets the
+    session conf — which is per-session and the actual failure mode."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        enabled = (
+            str(spark.conf.get("spark.sql.python.filterPushdown.enabled")).lower()
+            == "true"
+        )
+    except Exception:
+        enabled = False
+    try:
+        spark.dataSource.register(
+            TokstripeDataSource if enabled else TokstripeDataSourceNoPushdown
+        )
+    except Exception as e:  # registered by an earlier session: keep it
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
 
 
 class TokstripeDataSource(DataSource):
@@ -127,7 +157,12 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
-class TokstripeReader(DataSourceReader):
+class _TokstripeReaderBase(DataSourceReader):
+    """Planning + execution shared by both reader variants. Does NOT
+    override pushFilters — registered as-is (TokstripeReaderNoPushdown)
+    when the session cannot enable Python filter pushdown; self._preds
+    then stays empty and every file of the snapshot becomes a partition."""
+
     def __init__(self, options, schema: StructType):
         from .pipeline import _spark_type_str
         from .warehouse import Warehouse
@@ -146,6 +181,7 @@ class TokstripeReader(DataSourceReader):
         unknown = [n for n in self._names if n not in manifest["schema"]]
         if unknown:
             raise ValueError(f"columns {unknown} not in snapshot schema")
+        self._raw_types = dict(manifest["schema"])  # arrow strings keep ts unit
         self._types = {
             n: _spark_type_str(t) for n, t in manifest["schema"].items()
         }
@@ -154,9 +190,42 @@ class TokstripeReader(DataSourceReader):
 
     # -- planning ---------------------------------------------------------
 
+    def _ts_scale(self, col: str) -> int | None:
+        """Microseconds per stored epoch unit of timestamp column `col`
+        (stripe.py encodes timestamps as epoch ints at the arrow unit).
+        Datasource-written manifests carry the bare spark name 'timestamp'
+        — Spark's arrow batches are always microseconds, so default us.
+        Nanoseconds (finer than a datetime probe) are not translated."""
+        import re
+
+        m = re.match(r"timestamp\[(\w+)", self._raw_types.get(col, ""))
+        unit = m.group(1) if m else "us"
+        return {"s": 1_000_000, "ms": 1_000, "us": 1}.get(unit)
+
+    @staticmethod
+    def _ts_epoch(v, scale: int, round_up: bool) -> int:
+        """datetime probe -> epoch count at the column's unit. Naive
+        datetimes are session-local wall time (TimestampType.fromInternal);
+        astimezone() attaches the process tz, which local-mode shares with
+        the JVM session. Rounding is directional so a coarser stored unit
+        only ever WIDENS the hint range (floor lower bounds, ceil upper)."""
+        import datetime as _dt
+
+        if v.tzinfo is None:
+            v = v.astimezone()
+        us = (v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)) // _dt.timedelta(
+            microseconds=1
+        )
+        q, r = divmod(us, scale)
+        return q + (1 if round_up and r else 0)
+
     def _pushable(self, f) -> str | None:
-        """Single-segment column reference, scalar non-array non-timestamp
-        type, int/str probe values only — else not pushable."""
+        """Single-segment column reference, scalar non-array type, probe
+        values matching the column family (int/str for int/string columns,
+        finite int/float for float/double) — else not pushable. Timestamps
+        go through _translate_ts instead."""
+        import math
+
         if len(f.attribute) != 1:
             return None
         col = f.attribute[0]
@@ -165,33 +234,55 @@ class TokstripeReader(DataSourceReader):
             return None
         if not hasattr(f, "value"):  # IsNull/IsNotNull/Not(...)
             return None
-        vals = f.value if isinstance(f.value, tuple) else (f.value,)
-        if not all(isinstance(v, (int, str)) and not isinstance(v, bool) for v in vals):
+        # In.value arrives as a LIST from the pushdown worker (the API type
+        # hint says tuple) — accept both or every IN-set is silently
+        # rejected
+        vals = f.value if isinstance(f.value, (tuple, list)) else (f.value,)
+        if t in ("float", "double"):
+            if not all(
+                isinstance(v, (int, float))
+                and not isinstance(v, bool)
+                and math.isfinite(v)
+                for v in vals
+            ):
+                return None
+        elif not all(
+            isinstance(v, (int, str)) and not isinstance(v, bool) for v in vals
+        ):
             return None
         return col
 
-    def pushFilters(self, filters):
-        for f in filters:
-            col = self._pushable(f)
-            if col is None:
-                yield f
-            elif isinstance(f, EqualTo):
-                self._preds.append(("in", col, [f.value]))
-            elif isinstance(f, In):
-                self._preds.append(("in", col, sorted(set(f.value))))
-            elif isinstance(f, GreaterThanOrEqual):
-                self._preds.append(("between", col, f.value, None))
-            elif isinstance(f, LessThanOrEqual):
-                self._preds.append(("between", col, None, f.value))
-            elif isinstance(f, GreaterThan):
-                # inclusive superset prunes; Spark applies the strict rest
-                self._hint_preds.append(("between", col, f.value, None))
-                yield f
-            elif isinstance(f, LessThan):
-                self._hint_preds.append(("between", col, None, f.value))
-                yield f
-            else:
-                yield f
+    def _translate_ts(self, f) -> tuple | None:
+        """Timestamp filter -> conservative inclusive prune-hint predicate
+        over the stored epoch ints, or None. The caller ALWAYS yields the
+        original filter back to Spark, so hints only skip files/stripes
+        whose stats are disjoint from the widened range — rounding or tz
+        slack can cost pruning, never rows."""
+        import datetime as _dt
+
+        if len(f.attribute) != 1 or not hasattr(f, "value"):
+            return None
+        col = f.attribute[0]
+        if self._types.get(col) != "timestamp":
+            return None
+        scale = self._ts_scale(col)
+        if scale is None:
+            return None
+        # In.value arrives as a LIST from the pushdown worker (the API type
+        # hint says tuple) — accept both or every IN-set is silently
+        # rejected
+        vals = f.value if isinstance(f.value, (tuple, list)) else (f.value,)
+        if not all(isinstance(v, _dt.datetime) for v in vals):
+            return None
+        if isinstance(f, (EqualTo, In)):
+            lo = min(self._ts_epoch(v, scale, round_up=False) for v in vals)
+            hi = max(self._ts_epoch(v, scale, round_up=True) for v in vals)
+            return ("between", col, lo, hi)
+        if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            return ("between", col, self._ts_epoch(f.value, scale, False), None)
+        if isinstance(f, (LessThan, LessThanOrEqual)):
+            return ("between", col, None, self._ts_epoch(f.value, scale, True))
+        return None
 
     def partitions(self):
         from .pipeline import plan_scan_files
@@ -224,49 +315,88 @@ class TokstripeReader(DataSourceReader):
             )
 
 
+class TokstripeReaderNoPushdown(_TokstripeReaderBase):
+    """Availability fallback: identical reads, no pushFilters override, so
+    sessions that cannot enable spark.sql.python.filterPushdown.enabled
+    still read the format (Spark applies all filters post-scan)."""
+
+
+class TokstripeReader(_TokstripeReaderBase):
+    def pushFilters(self, filters):
+        for f in filters:
+            col = self._pushable(f)
+            if col is None:
+                ts_hint = self._translate_ts(f)
+                if ts_hint is not None:
+                    self._hint_preds.append(ts_hint)
+                yield f
+            elif isinstance(f, EqualTo):
+                self._preds.append(("in", col, [f.value]))
+            elif isinstance(f, In):
+                self._preds.append(("in", col, sorted(set(f.value))))
+            elif isinstance(f, GreaterThanOrEqual):
+                self._preds.append(("between", col, f.value, None))
+            elif isinstance(f, LessThanOrEqual):
+                self._preds.append(("between", col, None, f.value))
+            elif isinstance(f, GreaterThan):
+                # inclusive superset prunes; Spark applies the strict rest
+                self._hint_preds.append(("between", col, f.value, None))
+                yield f
+            elif isinstance(f, LessThan):
+                self._hint_preds.append(("between", col, None, f.value))
+                yield f
+            else:
+                yield f
+
+
+class TokstripeDataSourceNoPushdown(TokstripeDataSource):
+    """Same format name, fallback reader (see register)."""
+
+    def reader(self, schema: StructType) -> "TokstripeReaderNoPushdown":
+        return TokstripeReaderNoPushdown(self.options, schema)
+
+
 class TokstripeStreamReader(DataSourceStreamReader):
     """Tail the warehouse as a stream: every snapshot that commits becomes a
-    micro-batch (one task per data file). Offsets are the sorted set of
-    snapshot names already consumed — snapshot publication is atomic (one
-    manifest rename), so a snapshot is either absent or complete; snapshots
-    must not be re-committed after publication when consumed this way
-    (encode_table commits once at the end of a job; stream-writer epochs
-    are final). Use .option("snapshot_prefix", ...) to tail one logical
-    stream (e.g. a stream writer's '<name>-e' epochs) out of a shared
-    warehouse."""
+    micro-batch (one task per data file). The offset is a single integer —
+    a position in the warehouse's append-only commit log
+    (Warehouse.commit_log), so checkpoints stay O(1) no matter how long the
+    warehouse's tail grows (the previous full-name-list offset grew without
+    bound). Snapshot publication is atomic (one manifest rename), so a
+    logged snapshot is complete; snapshots must not be re-committed after
+    publication when consumed this way (encode_table commits once at the
+    end of a job; stream-writer epochs are final). Use
+    .option("snapshot_prefix", ...) to tail one logical stream (e.g. a
+    stream writer's '<name>-e' epochs) out of a shared warehouse — the
+    prefix filter applies at planning, positions are warehouse-global."""
 
     def __init__(self, options, schema: StructType):
-        from .warehouse import Warehouse
-
         self._wh_path = options.get("path")
         if not self._wh_path:
             raise ValueError("tokstripe requires .option('path', <warehouse dir>)")
         self._prefix = options.get("snapshot_prefix", "")
         self._names = [f.name for f in schema.fields]
-        self._manifest_dir = Warehouse(self._wh_path).manifest_dir
 
-    def _committed(self) -> list[str]:
-        try:
-            names = os.listdir(self._manifest_dir)
-        except OSError:
-            return []
-        return sorted(
-            f[5:-5]
-            for f in names
-            if f.startswith(f"snap-{self._prefix}") and f.endswith(".json")
-        )
-
-    def initialOffset(self) -> dict:
-        return {"seen": []}
-
-    def latestOffset(self) -> dict:
-        return {"seen": self._committed()}
-
-    def partitions(self, start: dict, end: dict):
+    def _wh(self):
         from .warehouse import Warehouse
 
-        new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
-        wh = Warehouse(self._wh_path)
+        return Warehouse(self._wh_path)
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": len(self._wh().commit_log())}
+
+    def partitions(self, start: dict, end: dict):
+        wh = self._wh()
+        log = wh.commit_log()
+        if "seen" in start:  # legacy checkpoint (pre-log name-list offsets)
+            new = [s for s in log[: end.get("pos", len(log))]
+                   if s not in set(start["seen"])]
+        else:
+            new = log[start.get("pos", 0): end.get("pos", len(log))]
+        new = [s for s in new if s.startswith(self._prefix)]
         files = [f for s in new for f in wh.committed_files(s)]
         return [_FilePartition(f) for f in files] or [_FilePartition("")]
 

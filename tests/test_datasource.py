@@ -212,3 +212,264 @@ def test_stream_writer_exactly_once(spark, tmp_path):
     )
     assert snaps2 == snaps
     assert verify_roundtrip(orig, dec)["ok"]
+
+
+# ---------------------------------------------------------------------------
+# r5: pushdown on foreign sessions, the no-pushdown fallback, and
+# float/timestamp predicate translation
+# ---------------------------------------------------------------------------
+
+import datetime as dt
+
+from orc_spark.datasource import (
+    TokstripeDataSourceNoPushdown,
+    TokstripeReader,
+)
+
+
+_FOREIGN_SESSION_SCRIPT = """
+import sys
+from pyspark.sql import SparkSession, functions as F
+
+wh = sys.argv[1]
+# a PLAIN session — none of the engine's get_spark confs, exactly the
+# driver-harness condition that erred r4's dsv2_scan
+# (spark.sql.python.filterPushdown.enabled defaults to false in 4.1)
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("foreign").getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "false"
+from orc_spark.datasource import register
+register(spark)
+assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+got = (
+    spark.read.format("tokstripe").option("path", wh).load()
+    .where((F.col("source") == "books") & (F.col("n_tok") >= 100))
+)
+rows = got.count()
+full = spark.read.format("tokstripe").option("path", wh).load()
+want = full.where((F.col("source") == "books") & (F.col("n_tok") >= 100))
+print("ROWS", rows)
+assert rows > 0
+"""
+
+
+def test_register_enables_pushdown_on_foreign_session(spark, ds_wh):
+    """A session created WITHOUT the engine's get_spark (Spark 4.1 defaults
+    filterPushdown=false — the driver-harness condition that erred r4's
+    dsv2_scan) must read the format after register() alone. Run in a
+    subprocess: Spark's Python-datasource registry dedupes globally but
+    resolves per-session, so an in-process foreign session cannot model
+    the real first-registration path."""
+    import subprocess
+    import sys as _sys
+
+    wh, df = ds_wh
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, "-c", _FOREIGN_SESSION_SCRIPT, wh],
+        cwd=repo, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    n = int(out.stdout.split("ROWS")[1].split()[0])
+    assert n == df.where((F.col("source") == "books") & (F.col("n_tok") >= 100)).count()
+
+
+def test_fallback_reader_reads_unpruned_but_correct(spark, ds_wh):
+    """If the conf can never be enabled, register() falls back to the
+    reader WITHOUT pushFilters: every filter shape still returns correct
+    rows (Spark evaluates them), files are simply not pruned. The registry
+    is context-shared and 'tokstripe' is already taken, so the fallback
+    registers here under a test-only name."""
+    wh, df = ds_wh
+
+    class _Fallback(TokstripeDataSourceNoPushdown):
+        @classmethod
+        def name(cls) -> str:
+            return "tokstripe_nopd_test"
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    ns.dataSource.register(_Fallback)
+    r = ns.read.format("tokstripe_nopd_test").option("path", wh).load()
+    got = r.where((F.col("n_tok") >= 100) & (F.col("n_tok") <= 200))
+    want = df.where((F.col("n_tok") >= 100) & (F.col("n_tok") <= 200))
+    assert got.drop("tokens").exceptAll(want.drop("tokens")).count() == 0
+    assert want.drop("tokens").exceptAll(got.drop("tokens")).count() == 0
+    # no pushdown => the task count equals the full file count
+    assert got.rdd.getNumPartitions() == r.rdd.getNumPartitions()
+
+
+@pytest.fixture(scope="module")
+def ev_wh(spark, tmp_path_factory):
+    """Small events-shaped warehouse: int64 key, timestamp + double payload,
+    event_type partition prefix."""
+    import pandas as pd
+
+    register(spark)
+    wh = str(tmp_path_factory.mktemp("ev_wh"))
+    n = 400
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [base + dt.timedelta(minutes=17 * i) for i in range(n)],
+            "value": [((i * 37) % 100) / 7.0 - 3.0 for i in range(n)],
+            "event_type": [["click", "view", "purchase"][i % 3] for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    encode_table(
+        spark, df, wh, snapshot="e1",
+        key_col="event_id", source_col="event_type", weight_col=None,
+        salt_buckets=2, stripe_tokens=600,
+    )
+    return wh, df
+
+
+def test_timestamp_filter_translation_units():
+    """_translate_ts: datetime probes -> epoch hints at the stored unit,
+    bounds rounded conservatively (lower floored, upper ceiled)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    r = TokstripeReader.__new__(TokstripeReader)
+    r._raw_types = {"ts": "timestamp[us, tz=UTC]", "tss": "timestamp[s]"}
+    r._types = {"ts": "timestamp", "tss": "timestamp"}
+    t = dt.datetime(2024, 1, 2, 3, 4, 5, 500_000, tzinfo=dt.timezone.utc)
+    us = int(t.timestamp() * 1_000_000)
+    got = r._translate_ts(GreaterThanOrEqual(attribute=("ts",), value=t))
+    assert got == ("between", "ts", us, None)
+    got = r._translate_ts(LessThan(attribute=("ts",), value=t))
+    assert got == ("between", "ts", None, us)
+    # seconds-unit column: lower bound floors, upper bound ceils (the .5 s)
+    got = r._translate_ts(GreaterThanOrEqual(attribute=("tss",), value=t))
+    assert got == ("between", "tss", us // 1_000_000, None)
+    got = r._translate_ts(LessThan(attribute=("tss",), value=t))
+    assert got == ("between", "tss", None, us // 1_000_000 + 1)
+    # non-datetime probe on a ts column: not translated
+    assert r._translate_ts(GreaterThanOrEqual(attribute=("ts",), value=5)) is None
+
+
+def test_timestamp_and_float_filters_through_format(spark, ev_wh):
+    """Timestamp range + double threshold through the FORMAT must equal the
+    raw-table filter exactly (ts pushes as a conservative hint, Spark keeps
+    the exact residual; float >=/<= are consumed exactly)."""
+    wh, df = ev_wh
+    lo = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+    hi = dt.datetime(2024, 1, 3, 12, tzinfo=dt.timezone.utc)
+    r = _fmt(spark, wh, snapshot="e1").load()
+    cases = [
+        lambda d: d.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))),
+        lambda d: d.where(F.col("ts") > F.lit(lo)),
+        lambda d: d.where(F.col("ts") < F.lit(hi)),
+        lambda d: d.where(F.col("value") >= 2.5),
+        lambda d: d.where((F.col("value") > -1.0) & (F.col("value") <= 3.25)),
+        lambda d: d.where(
+            F.col("event_type").isin("click") & (F.col("ts") >= F.lit(lo))
+        ),
+    ]
+    for i, c in enumerate(cases):
+        got, want = c(r), c(df)
+        assert got.exceptAll(want).count() == 0, i
+        assert want.exceptAll(got).count() == 0, i
+
+
+def test_timestamp_filter_prunes_stripes_at_read(spark, ev_wh):
+    """The ts hint must actually skip stripes: a range past the table's end
+    plans >=1 partition per surviving file but decodes zero stripes (and a
+    type-IN prune drops files at planning)."""
+    wh, _ = ev_wh
+    r = _fmt(spark, wh, snapshot="e1").load()
+    n_full = r.rdd.getNumPartitions()
+    far = dt.datetime(2030, 1, 1, tzinfo=dt.timezone.utc)
+    assert r.where(F.col("ts") >= F.lit(far)).count() == 0
+    n_src = r.where(F.col("event_type") == "click").rdd.getNumPartitions()
+    assert n_src < n_full
+
+
+# ---------------------------------------------------------------------------
+# r5: property fuzz of the pushFilters TRANSLATION layer — for random
+# conjunctions over int key / string partition key / timestamp / double
+# columns, the format read must equal the raw-table filter exactly (the
+# three prune levels have their own fuzz in test_pruning_fuzz.py; this
+# covers the Catalyst-filter -> engine-predicate translation above them).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EV_BASE = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _ev_ts(minutes: float) -> dt.datetime:
+    return _EV_BASE + dt.timedelta(minutes=minutes)
+
+
+_id_pred = st.one_of(
+    st.tuples(st.just("id_in"), st.lists(st.integers(-5, 410), min_size=1, max_size=4)),
+    st.tuples(st.just("id_range"), st.integers(-5, 410), st.integers(-5, 410)),
+)
+_type_pred = st.tuples(
+    st.just("type_in"),
+    st.lists(st.sampled_from(["click", "view", "purchase", "absent"]), min_size=1, max_size=3),
+)
+_ts_pred = st.tuples(
+    st.just("ts_range"),
+    st.one_of(st.none(), st.floats(-100, 8000, allow_nan=False)),
+    st.one_of(st.none(), st.floats(-100, 8000, allow_nan=False)),
+)
+_val_pred = st.tuples(
+    st.just("val_range"),
+    st.one_of(st.none(), st.floats(-5, 15, allow_nan=False)),
+    st.one_of(st.none(), st.floats(-5, 15, allow_nan=False)),
+)
+
+
+def _to_cond(p):
+    kind = p[0]
+    if kind == "id_in":
+        return F.col("event_id").isin(*p[1])
+    if kind == "id_range":
+        lo, hi = sorted((p[1], p[2]))
+        return (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+    if kind == "type_in":
+        return F.col("event_type").isin(*p[1])
+    if kind == "ts_range":
+        c = None
+        if p[1] is not None:
+            c = F.col("ts") >= F.lit(_ev_ts(p[1]))
+        if p[2] is not None:
+            c2 = F.col("ts") <= F.lit(_ev_ts(p[2]))
+            c = c2 if c is None else (c & c2)
+        return c
+    if kind == "val_range":
+        c = None
+        if p[1] is not None:
+            c = F.col("value") > p[1]
+        if p[2] is not None:
+            c2 = F.col("value") <= p[2]
+            c = c2 if c is None else (c & c2)
+        return c
+    raise AssertionError(kind)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(preds=st.lists(st.one_of(_id_pred, _type_pred, _ts_pred, _val_pred), min_size=1, max_size=3))
+def test_format_pushdown_fuzz(spark, ev_wh, preds):
+    wh, df = ev_wh
+    conds = [c for c in (_to_cond(p) for p in preds) if c is not None]
+    if not conds:
+        return
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    got = _fmt(spark, wh, snapshot="e1").load().where(cond)
+    want = df.where(cond)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
