@@ -127,6 +127,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reach the engine's three prune levels via pushFilters
         return dsv2_scan_summary(spark, sf_dir)
 
+    def _dsv2_events(spark, sf_dir):
+        _ship(spark)
+        # the time-series consumer's predicate (event_type IN + ts range)
+        # through the FORMAT: datetime probes translate to stored epoch
+        # ints; planning-time file pruning asserted via the task count
+        from orc_spark.generic_tables import dsv2_events_scan
+
+        return dsv2_events_scan(spark, sf_dir)
+
+    def _pack_wh(spark, sf_dir):
+        _ship(spark)
+        # sequence packing over the DECODED warehouse (column-pruned decode
+        # of doc_id/source/n_tok; tokens stream never decompressed)
+        from orc_spark.flagship import pack_warehouse
+
+        return pack_warehouse(spark, sf_dir)
+
     def _export(spark, sf_dir):
         _ship(spark)
         return orc_export_summary(spark, sf_dir)
@@ -211,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_scan_ids": _pruned_ids,
         "point_lookup": _point_lookup,
         "dsv2_scan": _dsv2,
+        "dsv2_events_scan": _dsv2_events,
         "pruned_scan_multi": _pruned_multi,
         # interchange sink: encode -> export as standalone ORC files -> read
         # back with SPARK'S OWN ORC READER (orc-core) -> aggregates; the
@@ -245,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequence packing (concat-and-chunk to 512-token training rows)
         # and deterministic hash-threshold train/val/test stratification
         "pack_sequences": textops.pack_sequences,
+        "pack_warehouse": _pack_wh,
         "split_assign": textops.split_assign,
         # benchmark decontamination (shingle overlap vs a held-out hash
         # slice) and intra-doc repetition screening
@@ -291,6 +310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF ANN search: nprobe nearest lists per query, exact refine
         # inside them only — the scale path topk_cosine baselines
         "ivf_topk": similarity.ivf_topk,
+        # the same search over a PERSISTED index: list_id is the warehouse
+        # partition key, the probe read prunes to the probed lists' files
+        # (asserted) — index build + pushdown-served ANN query end-to-end
+        "ivf_topk_warehouse": similarity.ivf_topk_warehouse,
         "token_counts_bpe": textops.token_counts_bpe,
         # multimodal plumbing
         "multimodal_meta": _mm,
@@ -346,6 +369,54 @@ _LSH_W = (
     + _H48.format(x="CAST(p AS VARCHAR)||'|'||CAST(i-1 AS VARCHAR)")
     + " % 2 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
 )
+
+
+def _ivf_topk_sql(n_queries: int, nprobe: int, k: int, n_lists: int = 16) -> str:
+    """The IVF ANN query as DuckDB SQL, parameterized — oracle for both
+    ivf_topk (recomputed index) and ivf_topk_warehouse (persisted index):
+    the index layout changes which files the engine reads, never the
+    result rows."""
+    return f"""
+            WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_lists}),
+            assign AS (
+              SELECT vec_id, cid AS list_id FROM (
+                SELECT e.vec_id, c.cid,
+                       CAST(floor((
+                         {_FOLD_DOT.format(a='e.embedding', b='e.embedding')}
+                         - 2 * {_FOLD_DOT.format(a='e.embedding', b='c.cv')}
+                         + {_FOLD_DOT.format(a='c.cv', b='c.cv')}
+                       ) * 1000000) AS BIGINT) AS d2_f6
+                FROM embeddings e, c)
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2_f6 ASC, cid ASC) = 1
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {n_queries}),
+            probes AS (
+              SELECT query_id, qv, cid AS list_id FROM (
+                SELECT q.query_id, q.qv, c.cid,
+                       CAST(floor((
+                         {_FOLD_DOT.format(a='q.qv', b='q.qv')}
+                         - 2 * {_FOLD_DOT.format(a='q.qv', b='c.cv')}
+                         + {_FOLD_DOT.format(a='c.cv', b='c.cv')}
+                       ) * 1000000) AS BIGINT) AS d2_f6
+                FROM q, c)
+              QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2_f6 ASC, cid ASC) <= {nprobe}
+            ),
+            sims AS (
+              SELECT p.query_id, e.vec_id AS cand_id,
+                     CAST(floor(
+                       {_FOLD_DOT.format(a='p.qv', b='e.embedding')}
+                       / (sqrt({_FOLD_DOT.format(a='p.qv', b='p.qv')})
+                          * sqrt({_FOLD_DOT.format(a='e.embedding', b='e.embedding')}))
+                       * 1000000) AS BIGINT) AS sim_f6
+              FROM probes p
+              JOIN assign a ON a.list_id = p.list_id
+              JOIN embeddings e ON e.vec_id = a.vec_id
+              WHERE e.vec_id <> p.query_id)
+            SELECT query_id, cand_id, sim_f6,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_f6 DESC, cand_id ASC) AS INTEGER) AS rnk
+            FROM sims
+            QUALIFY rnk <= {k}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -512,6 +583,22 @@ def _oracle_sql_base() -> dict[str, str]:
               AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705708800000000
             GROUP BY event_type
         """,
+        # the same composite through the tokstripe FORMAT (Catalyst
+        # pushFilters with datetime probes): results must be identical —
+        # translation and pruning are transparent
+        "dsv2_events_scan": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS value_micros,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+                   CAST(bit_xor(event_id) AS BIGINT) AS id_xor,
+                   CAST(sum(user_id % 1000003) AS BIGINT) AS user_sum
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+              AND epoch_us(ts) BETWEEN 1704844800000000 AND 1705708800000000
+            GROUP BY event_type
+        """,
         # long-string path: every decoded text re-hashed (md5 prefix) and
         # summed per (source, lang) — a flipped byte in any decoded string
         # flips text_hash_sum
@@ -654,6 +741,28 @@ def _oracle_sql_base() -> dict[str, str]:
         "pack_sequences": """
             WITH d AS (
               SELECT doc_id, source, len(string_split(text,' ')) AS n_tok
+              FROM documents),
+            c AS (
+              SELECT source, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM d)
+            SELECT source,
+                   CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT) AS seq_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS tokens_started,
+                   CAST(sum(CASE WHEN floor(CAST(cum - 1 AS DOUBLE) / 512)
+                                    > floor(CAST(cum - n_tok AS DOUBLE) / 512)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+            FROM c GROUP BY source, seq_id
+        """,
+        # packing over the DECODED warehouse: doc_id decodes as STRING, so
+        # the per-source packing order is the string key order (the cumsum
+        # depends on it; aggregates per (source, seq_id) then must match)
+        "pack_warehouse": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     len(string_split(text,' ')) AS n_tok
               FROM documents),
             c AS (
               SELECT source, n_tok,
@@ -859,47 +968,12 @@ def _oracle_sql_base() -> dict[str, str]:
         # cosine refine ONLY inside each query's nprobe nearest lists —
         # the deterministic recall loss vs exact topk_cosine is identical
         # in both engines, so the hash gates the whole search path
-        "ivf_topk": f"""
-            WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-            assign AS (
-              SELECT vec_id, cid AS list_id FROM (
-                SELECT e.vec_id, c.cid,
-                       CAST(floor((
-                         {_FOLD_DOT.format(a='e.embedding', b='e.embedding')}
-                         - 2 * {_FOLD_DOT.format(a='e.embedding', b='c.cv')}
-                         + {_FOLD_DOT.format(a='c.cv', b='c.cv')}
-                       ) * 1000000) AS BIGINT) AS d2_f6
-                FROM embeddings e, c)
-              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2_f6 ASC, cid ASC) = 1
-            ),
-            q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-            probes AS (
-              SELECT query_id, qv, cid AS list_id FROM (
-                SELECT q.query_id, q.qv, c.cid,
-                       CAST(floor((
-                         {_FOLD_DOT.format(a='q.qv', b='q.qv')}
-                         - 2 * {_FOLD_DOT.format(a='q.qv', b='c.cv')}
-                         + {_FOLD_DOT.format(a='c.cv', b='c.cv')}
-                       ) * 1000000) AS BIGINT) AS d2_f6
-                FROM q, c)
-              QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2_f6 ASC, cid ASC) <= 4
-            ),
-            sims AS (
-              SELECT p.query_id, e.vec_id AS cand_id,
-                     CAST(floor(
-                       {_FOLD_DOT.format(a='p.qv', b='e.embedding')}
-                       / (sqrt({_FOLD_DOT.format(a='p.qv', b='p.qv')})
-                          * sqrt({_FOLD_DOT.format(a='e.embedding', b='e.embedding')}))
-                       * 1000000) AS BIGINT) AS sim_f6
-              FROM probes p
-              JOIN assign a ON a.list_id = p.list_id
-              JOIN embeddings e ON e.vec_id = a.vec_id
-              WHERE e.vec_id <> p.query_id)
-            SELECT query_id, cand_id, sim_f6,
-                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_f6 DESC, cand_id ASC) AS INTEGER) AS rnk
-            FROM sims
-            QUALIFY rnk <= 5
-        """,
+        "ivf_topk": _ivf_topk_sql(n_queries=10, nprobe=4, k=5),
+        # the persisted-index path answers the SAME IVF query (the warehouse
+        # layout only changes WHICH FILES are read, never the result) —
+        # gate parameters n_queries=5 / nprobe=2 keep some lists unprobed
+        # so the file-prune assertion has something to prune
+        "ivf_topk_warehouse": _ivf_topk_sql(n_queries=5, nprobe=2, k=5),
         "embed_dup_pairs": f"""
             WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
             b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),

@@ -453,6 +453,32 @@ def vocab_top_tokens(
     return _with_encoded(spark, sf_dir, "vocab", consume, salt_buckets, stripe_tokens)
 
 
+def pack_warehouse(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = 512,
+    salt_buckets: int = 8,
+    stripe_tokens: int = 2_000_000,
+) -> DataFrame:
+    """Sequence packing THROUGH the warehouse — the op a training pipeline
+    runs over the decoded corpus: encode → decode only (doc_id, source,
+    n_tok) (column pruning: the tokens stream is never decompressed) →
+    textops.pack_plan (one window cumsum per source, closed-form offsets,
+    ONE shuffle on source — the same plan shape pack_sequences gates over
+    raw documents). doc_id decodes as string, so the oracle orders by the
+    same string key."""
+    from .textops import pack_plan
+
+    def consume(wh):
+        dec = decode_table(
+            spark, wh, snapshot="pack", columns=["doc_id", "source", "n_tok"]
+        )
+        out = pack_plan(dec, seq_len)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    return _with_encoded(spark, sf_dir, "pack", consume, salt_buckets, stripe_tokens)
+
+
 def codec_plan_report(
     spark: SparkSession, sf_dir: str, probe_rows: int = 4096
 ) -> DataFrame:

@@ -115,6 +115,60 @@ def events_pruned_scan(
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def dsv2_events_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 4,
+    stripe_tokens: int = 4_000,
+) -> DataFrame:
+    """The events_pruned_scan composite THROUGH the tokstripe FORMAT: the
+    exact predicate every time-series consumer starts with — event_type
+    IN-set AND an event-time range — reaches the engine via Catalyst's
+    pushFilters as datetime probe values, which the reader translates to
+    epoch counts at the stored unit (datasource._translate_ts; the ts range
+    is a conservative prune hint, Spark keeps the exact filter). Planning-
+    time file pruning is asserted via the task count: the filtered scan
+    must plan strictly fewer input partitions than the full scan. The
+    oracle filters raw parquet, so translation + pruning must be exactly
+    transparent."""
+    import datetime as dt
+
+    from .datasource import register
+
+    register(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo = dt.datetime.fromtimestamp(TS_LO_US / 1e6, tz=dt.timezone.utc)
+    hi = dt.datetime.fromtimestamp(TS_HI_US / 1e6, tz=dt.timezone.utc)
+    wh = tempfile.mkdtemp(prefix="orc_spark_gwh_")
+    try:
+        encode_table(
+            spark, ev, wh, snapshot="gate_dsv2_events",
+            key_col="event_id", source_col="event_type", weight_col=None,
+            salt_buckets=salt_buckets, stripe_tokens=stripe_tokens,
+        )
+        full = (
+            spark.read.format("tokstripe")
+            .option("path", wh).option("snapshot", "gate_dsv2_events")
+            .load()
+        )
+        flt = full.where(
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") <= F.lit(hi))
+        )
+        n_full = full.rdd.getNumPartitions()
+        n_flt = flt.rdd.getNumPartitions()
+        out = _events_rollup(flt)
+        out = spark.createDataFrame(out.collect(), out.schema)
+        if not n_flt < n_full:
+            raise AssertionError(
+                f"format-level file pruning did not fire: {n_flt} of {n_full} tasks"
+            )
+        return out
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 # 1997-06-30 00:00 UTC — ~25% of the lineitem fixture passes the composite
 Q1_SHIP_HI_US = 867_628_800_000_000
 

@@ -370,10 +370,18 @@ def ivf_topk(
     topk_cosine, so the DuckDB oracle reproduces every value bit-exactly
     (IVF recall loss vs the exact baseline is deterministic and identical
     in both engines)."""
-    from pyspark.sql.window import Window
-
     emb = _emb(spark, sf_dir)
     corpus = emb.join(ivf_assign(spark, sf_dir, n_lists).select("vec_id", "list_id"), "vec_id")
+    probes = _ivf_probes(emb, n_queries, n_lists, nprobe)
+    return _ivf_refine_topk(corpus, probes, k)
+
+
+def _ivf_probes(emb: DataFrame, n_queries: int, n_lists: int, nprobe: int) -> DataFrame:
+    """Per query (vec_id < n_queries): the `nprobe` nearest centroids'
+    list ids, query vector attached — (query_id, qv, list_id). Tiny
+    (n_queries x nprobe rows); callers broadcast it."""
+    from pyspark.sql.window import Window
+
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -388,7 +396,7 @@ def ivf_topk(
     wp = Window.partitionBy("query_id").orderBy(
         F.col("d2_f6").asc(), F.col("cid").asc()
     )
-    probes = (
+    return (
         q.crossJoin(F.broadcast(cents))
         .select(
             "query_id", "qv", "cid",
@@ -398,6 +406,15 @@ def ivf_topk(
         .where(F.col("pr") <= nprobe)
         .select("query_id", "qv", F.col("cid").alias("list_id"))
     )
+
+
+def _ivf_refine_topk(corpus: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine refine inside the probed lists only, then per-query
+    top-k: corpus (list_id, vec_id, embedding) joins the BROADCAST probe
+    table on list_id — the corpus never shuffles — and the final top-k is
+    the partial WindowGroupLimit shape topk_cosine uses."""
+    from pyspark.sql.window import Window
+
     sims = (
         corpus.join(F.broadcast(probes), "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -424,3 +441,68 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "cand_id", "sim_f6", "rnk")
     )
+
+
+def ivf_topk_warehouse(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 5,
+    n_lists: int = N_IVF_LISTS,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN search over a PERSISTED index — the production design
+    ivf_topk's docstring names: the corpus is encoded into the warehouse
+    with list_id as the partition-key layout (source_col), so the probe
+    read pushes an IN-set of the probed lists through decode_table's
+    file-level partition-key pruning — files outside the probed lists are
+    NEVER OPENED (asserted via prune metrics), no assignment join at query
+    time. The refine + top-k inside the probed lists is byte-identical to
+    ivf_topk's (_ivf_refine_topk over decoded vectors — the float codec
+    round-trip is bit-exact, so the DuckDB oracle is the same IVF query).
+
+    At 100 TB: build once (ivf_assign + encode_table = the index build),
+    then every query batch reads only nprobe/n_lists of the files — the
+    tokstripe layout IS the inverted-list structure."""
+    import shutil
+    import tempfile
+
+    from .pipeline import decode_table, encode_table
+
+    emb = _emb(spark, sf_dir)
+    # index build: assignment persisted as the partition key (zero-padded
+    # string so the pid prefix orders like the int list id)
+    lid = F.format_string("l%03d", F.col("list_id"))
+    corpus = emb.join(
+        ivf_assign(spark, sf_dir, n_lists).select("vec_id", "list_id"), "vec_id"
+    ).select("vec_id", "embedding", lid.alias("lid"))
+    probes = _ivf_probes(emb, n_queries, n_lists, nprobe)
+    wh = tempfile.mkdtemp(prefix="orc_spark_ivfwh_")
+    try:
+        encode_table(
+            spark, corpus, wh, snapshot="gate_ivf_index",
+            key_col="vec_id", source_col="lid", weight_col=None,
+            salt_buckets=2, stripe_tokens=2_000,
+        )
+        # probe set: O(n_queries * nprobe) driver-side rows — the IN-set
+        # that prunes the scan to the probed lists' files only
+        probed = sorted(
+            {f"l{r['list_id']:03d}" for r in probes.select("list_id").collect()}
+        )
+        metrics: dict = {}
+        dec = decode_table(
+            spark, wh, "gate_ivf_index",
+            predicate=("lid", probed), prune_metrics=metrics,
+        )
+        got = dec.withColumn(
+            "list_id", F.substring("lid", 2, 3).cast("bigint")
+        ).select("list_id", "vec_id", "embedding")
+        out = _ivf_refine_topk(got, probes, k)
+        out = spark.createDataFrame(out.collect(), out.schema)
+        if not metrics.get("files_pruned"):
+            raise AssertionError(
+                f"probed-list file pruning did not fire: {metrics}"
+            )
+        return out
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -590,11 +590,19 @@ def pack_sequences(
     stays the source exactly like the encode pipeline's pid prefix, and a
     giant source is pre-chunked upstream by the same size-aware rebalance
     the encoder uses (offsets then re-base per chunk)."""
-    from pyspark.sql.window import Window
-
     d = _docs(spark, sf_dir).select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
     )
+    return pack_plan(d, seq_len)
+
+
+def pack_plan(d: DataFrame, seq_len: int = 512) -> DataFrame:
+    """The packing plan over any (doc_id, source, n_tok) frame — shared by
+    pack_sequences (raw documents) and flagship.pack_warehouse (the decoded
+    warehouse): one window cumsum per source, closed-form offsets, one
+    shuffle total."""
+    from pyspark.sql.window import Window
+
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
