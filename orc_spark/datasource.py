@@ -94,7 +94,14 @@ def register(spark) -> None:
     erroring. The registry is shared across sessions of one SparkContext
     (re-registering the name raises DATA_SOURCE_ALREADY_EXISTS), so a
     repeat register() is a no-op for the registry but still sets the
-    session conf — which is per-session and the actual failure mode."""
+    session conf — which is per-session and the actual failure mode.
+
+    Variant choice is made by the FIRST register() on a context (the
+    registry is context-wide, the conf per-session), so a later session
+    with the opposite conf state is handled explicitly: fallback-registered
+    + pushdown-capable session reads correctly, just unpruned; pushdown-
+    registered + a session whose conf cannot be enabled would hard-fail at
+    read time, so register() raises the clear error up front."""
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         enabled = (
@@ -103,13 +110,35 @@ def register(spark) -> None:
         )
     except Exception:
         enabled = False
-    try:
-        spark.dataSource.register(
-            TokstripeDataSource if enabled else TokstripeDataSourceNoPushdown
+    ctx_id = id(spark.sparkContext)
+    registered = _REGISTERED_VARIANT.get(ctx_id)
+    if registered is None:
+        try:
+            spark.dataSource.register(
+                TokstripeDataSource if enabled else TokstripeDataSourceNoPushdown
+            )
+            _REGISTERED_VARIANT[ctx_id] = enabled
+        except Exception as e:  # registered by an earlier session: keep it
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+                raise
+            # unknown earlier variant (registered outside this module's
+            # bookkeeping, e.g. another process image): assume pushdown —
+            # that is what every engine entry point registers when the conf
+            # is settable, which it is on every session we have observed
+            _REGISTERED_VARIANT[ctx_id] = True
+            registered = True
+    if registered is True and not enabled:
+        raise RuntimeError(
+            "the 'tokstripe' format was registered with filter pushdown on "
+            "this SparkContext, but this session could not enable "
+            "spark.sql.python.filterPushdown.enabled — reads from this "
+            "session would fail with DATA_SOURCE_PUSHDOWN_DISABLED. Enable "
+            "the conf on this session (it is runtime-settable) or create "
+            "the session through orc_spark.session.get_spark."
         )
-    except Exception as e:  # registered by an earlier session: keep it
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
-            raise
+
+
+_REGISTERED_VARIANT: dict[int, bool] = {}
 
 
 class TokstripeDataSource(DataSource):
@@ -391,11 +420,23 @@ class TokstripeStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         wh = self._wh()
         log = wh.commit_log()
-        if "seen" in start:  # legacy checkpoint (pre-log name-list offsets)
-            new = [s for s in log[: end.get("pos", len(log))]
-                   if s not in set(start["seen"])]
+        # legacy (pre-log) checkpoints carry name-lists under "seen"; honor
+        # them at BOTH bounds — a replayed legacy batch (start AND end
+        # legacy) must re-deliver exactly its original names, not everything
+        # committed since, or the following pos-based batch re-delivers the
+        # overhang (duplicates, breaking exactly-once)
+        if "seen" in end:
+            in_end = set(end["seen"])
+            cand = [s for s in log if s in in_end]
         else:
-            new = log[start.get("pos", 0): end.get("pos", len(log))]
+            cand = log[: end.get("pos", len(log))]
+        if "seen" in start:
+            in_start = set(start["seen"])
+            new = [s for s in cand if s not in in_start]
+        else:
+            # pos start with legacy end cannot occur (offsets only move
+            # forward from legacy to pos); slice is the pos/pos fast path
+            new = cand[start.get("pos", 0):]
         new = [s for s in new if s.startswith(self._prefix)]
         files = [f for s in new for f in wh.committed_files(s)]
         return [_FilePartition(f) for f in files] or [_FilePartition("")]

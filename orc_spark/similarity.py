@@ -472,7 +472,9 @@ def ivf_topk_warehouse(
     emb = _emb(spark, sf_dir)
     # index build: assignment persisted as the partition key (zero-padded
     # string so the pid prefix orders like the int list id)
-    lid = F.format_string("l%03d", F.col("list_id"))
+    # 6-digit pad keeps lexicographic pid order == int order (and the parse
+    # below correct) up to 1M lists; substring(2) reads whatever width
+    lid = F.format_string("l%06d", F.col("list_id"))
     corpus = emb.join(
         ivf_assign(spark, sf_dir, n_lists).select("vec_id", "list_id"), "vec_id"
     ).select("vec_id", "embedding", lid.alias("lid"))
@@ -487,7 +489,7 @@ def ivf_topk_warehouse(
         # probe set: O(n_queries * nprobe) driver-side rows — the IN-set
         # that prunes the scan to the probed lists' files only
         probed = sorted(
-            {f"l{r['list_id']:03d}" for r in probes.select("list_id").collect()}
+            {f"l{r['list_id']:06d}" for r in probes.select("list_id").collect()}
         )
         metrics: dict = {}
         dec = decode_table(
@@ -495,7 +497,7 @@ def ivf_topk_warehouse(
             predicate=("lid", probed), prune_metrics=metrics,
         )
         got = dec.withColumn(
-            "list_id", F.substring("lid", 2, 3).cast("bigint")
+            "list_id", F.expr("substring(lid, 2)").cast("bigint")
         ).select("list_id", "vec_id", "embedding")
         out = _ivf_refine_topk(got, probes, k)
         out = spark.createDataFrame(out.collect(), out.schema)

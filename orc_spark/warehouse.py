@@ -90,9 +90,15 @@ class Warehouse:
             and f[len("snap-"):-len(".json")] not in seen
         )
         if missing:
-            with open(logf, "a") as fh:
-                for name in missing:
-                    fh.write(name + "\n")
+            # heal is best-effort: a read-only consumer (stream reader on
+            # storage mounted RO) must still get the full ordered list even
+            # when it cannot persist the healed lines
+            try:
+                with open(logf, "a") as fh:
+                    for name in missing:
+                        fh.write(name + "\n")
+            except OSError:
+                pass
             lines.extend(missing)
         return lines
 

@@ -164,6 +164,36 @@ def test_stream_reader_tails_snapshots(spark, tmp_path):
     assert verify_roundtrip(df, got2)["ok"]  # union, no duplicates
 
 
+def test_stream_reader_legacy_offset_replay(tmp_path):
+    """Pre-log checkpoints carry name-lists ("seen") as offsets. A replayed
+    legacy batch must re-deliver EXACTLY its original names — not everything
+    committed since — or the following pos-based batch re-delivers the
+    overhang as duplicates. Pure offset arithmetic: no Spark needed."""
+    from pyspark.sql.types import StructType
+
+    from orc_spark.datasource import TokstripeStreamReader
+    from orc_spark.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path / "legacy_wh"))
+    for s in ("s1", "s2", "s3"):
+        wh.commit(s, {"p0": {"file": f"/x/{s}.parquet", "n_rows": 1}},
+                  {"doc_id": "string"})
+    rdr = TokstripeStreamReader({"path": wh.path}, StructType([]))
+
+    def files(parts):
+        return sorted(p.path for p in parts if p.path)
+
+    # replayed legacy batch: exactly end-seen minus start-seen, even though
+    # s3 committed after the legacy end offset was recorded
+    assert files(rdr.partitions({"seen": ["s1"]}, {"seen": ["s1", "s2"]})) \
+        == ["/x/s2.parquet"]
+    # migration batch: legacy start, pos end -> only the overhang, once
+    assert files(rdr.partitions({"seen": ["s1", "s2"]}, rdr.latestOffset())) \
+        == ["/x/s3.parquet"]
+    # steady state: pos/pos
+    assert files(rdr.partitions({"pos": 2}, {"pos": 3})) == ["/x/s3.parquet"]
+
+
 def test_stream_writer_exactly_once(spark, tmp_path):
     register(spark)
     inp = tmp_path / "in"
@@ -249,8 +279,6 @@ got = (
     .where((F.col("source") == "books") & (F.col("n_tok") >= 100))
 )
 rows = got.count()
-full = spark.read.format("tokstripe").option("path", wh).load()
-want = full.where((F.col("source") == "books") & (F.col("n_tok") >= 100))
 print("ROWS", rows)
 assert rows > 0
 """
