@@ -144,6 +144,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_warehouse(spark, sf_dir)
 
+    def _snapshots(spark, sf_dir):
+        _ship(spark)
+        # Iceberg snapshots/files metadata tables: answer from manifests
+        # ONLY (no data file opened) — gates the per-partition lineage
+        # metrics (n_rows/n_tokens) against a DuckDB recomputation
+        from orc_spark.flagship import warehouse_snapshots_summary
+
+        return warehouse_snapshots_summary(spark, sf_dir)
+
     def _export(spark, sf_dir):
         _ship(spark)
         return orc_export_summary(spark, sf_dir)
@@ -264,6 +273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and deterministic hash-threshold train/val/test stratification
         "pack_sequences": textops.pack_sequences,
         "pack_warehouse": _pack_wh,
+        # Iceberg-style metadata tables (snapshots/files) over the warehouse
+        "warehouse_snapshots": _snapshots,
         "split_assign": textops.split_assign,
         # benchmark decontamination (shingle overlap vs a held-out hash
         # slice) and intra-doc repetition screening
@@ -759,6 +770,20 @@ def _oracle_sql_base() -> dict[str, str]:
         # packing over the DECODED warehouse: doc_id decodes as STRING, so
         # the per-source packing order is the string key order (the cumsum
         # depends on it; aggregates per (source, seq_id) then must match)
+        # metadata tables: the Spark side answers from manifest lineage
+        # metrics only (snapshots_table); the oracle recomputes both
+        # parity-splits' totals from the raw documents, so recorded
+        # bookkeeping must equal the data actually encoded
+        "warehouse_snapshots": f"""
+            WITH d AS (
+              SELECT CASE WHEN {_H48.format(x='CAST(doc_id AS VARCHAR)')} % 2 = 0
+                          THEN 'even' ELSE 'odd' END AS snap,
+                     len(string_split(text,' ')) AS n_tok
+              FROM documents)
+            SELECT snap, count(*) AS n_rows,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM d GROUP BY snap
+        """,
         "pack_warehouse": """
             WITH d AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,

@@ -519,3 +519,72 @@ def codec_plan_report(
         yield pa.RecordBatch.from_pylist(rows)
 
     return df.mapInArrow(probe, PLAN_SCHEMA)
+
+
+META_GATE_SCHEMA = "snap string, n_rows long, n_tokens long"
+
+
+def warehouse_snapshots_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 4,
+    stripe_tokens: int = 500_000,
+) -> DataFrame:
+    """Metadata-tables gate (Iceberg `snapshots`/`files` analogs,
+    metadata.py): encode the derived tokens table into TWO snapshots split
+    by h48(doc_id) parity (the repo's portable md5-prefix hash, so DuckDB
+    reproduces the split exactly), then answer from `snapshots_table`
+    ALONE — no data file is opened, the numbers are the manifests'
+    per-partition lineage metrics. The oracle recomputes both splits'
+    row/token totals from the raw documents, so this hash-gates the
+    bookkeeping the north rule requires every partition to record
+    (n_rows/n_tokens lineage): a partition whose recorded counts drift
+    from the data it actually encoded flips the hash. Also asserts the two
+    metadata relations are mutually consistent (files_table sums == the
+    snapshots_table row, per snapshot) and that commit-log order/status
+    are right ('even' committed first, 'odd' is CURRENT)."""
+    from .metadata import files_table, snapshots_table
+    from .textops import _h48
+
+    wh = tempfile.mkdtemp(prefix="orc_spark_meta_")
+    try:
+        df = tokens_from_documents(read_documents(spark, sf_dir))
+        parity = F.pmod(_h48(F.col("doc_id")), F.lit(2))
+        for par, snap in ((0, "even"), (1, "odd")):
+            encode_table(
+                spark, df.where(parity == par), wh, snapshot=snap,
+                salt_buckets=salt_buckets, stripe_tokens=stripe_tokens,
+            )
+        snaps = {r["snapshot_id"]: r for r in snapshots_table(spark, wh).collect()}
+        ftot = {
+            r["snapshot_id"]: r
+            for r in files_table(spark, wh, ["even", "odd"])
+            .groupBy("snapshot_id")
+            .agg(
+                F.count("*").alias("n_files"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+            )
+            .collect()
+        }
+        if snaps["even"]["status"] != "committed" or snaps["odd"]["status"] != "current":
+            raise AssertionError(f"snapshot status wrong: {snaps}")
+        if snaps["even"]["ordinal"] >= snaps["odd"]["ordinal"]:
+            raise AssertionError("commit-log order lost")
+        for sid in ("even", "odd"):
+            s, f = snaps[sid], ftot[sid]
+            if (s["n_partitions"], s["n_rows"], s["n_tokens"], s["enc_bytes"]) != (
+                f["n_files"], f["n_rows"], f["n_tokens"], f["enc_bytes"]
+            ):
+                raise AssertionError(
+                    f"files_table disagrees with snapshots_table for {sid}: "
+                    f"{s} vs {f}"
+                )
+        rows = [
+            (sid, int(snaps[sid]["n_rows"]), int(snaps[sid]["n_tokens"]))
+            for sid in ("even", "odd")
+        ]
+        return spark.createDataFrame(rows, META_GATE_SCHEMA)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
