@@ -127,6 +127,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reach the engine's three prune levels via pushFilters
         return dsv2_scan_summary(spark, sf_dir)
 
+    def _delete_scan(spark, sf_dir):
+        _ship(spark)
+        # merge-on-read row-level deletes (Iceberg v2 equality-delete
+        # analog): delete_where commits a new snapshot sharing the parent's
+        # files; the gate decodes the survivors via BOTH apply strategies,
+        # the tokstripe format, time-travels the parent, and materializes —
+        # all cross-checked in-gate before the oracle hash
+        from orc_spark.flagship import delete_scan_summary
+
+        return delete_scan_summary(spark, sf_dir)
+
+    def _upsert_scan(spark, sf_dir):
+        _ship(spark)
+        # merge-on-read UPSERT (MERGE INTO analog): new files at seq+1 +
+        # a seq-scoped delete file of the upserted keys; the oracle
+        # recomputes the merge, so version leaks flip the hash
+        from orc_spark.flagship import upsert_scan_summary
+
+        return upsert_scan_summary(spark, sf_dir)
+
     def _dsv2_events(spark, sf_dir):
         _ship(spark)
         # the time-series consumer's predicate (event_type IN + ts range)
@@ -238,6 +258,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": _point_lookup,
         "dsv2_scan": _dsv2,
         "dsv2_events_scan": _dsv2_events,
+        # merge-on-read deletes: survivors of delete_where(n_tok 30..70),
+        # inline-mask == anti-join == format read == materialized rewrite,
+        # parent snapshot time-travels to the full table
+        "delete_scan": _delete_scan,
+        "upsert_scan": _upsert_scan,
         "pruned_scan_multi": _pruned_multi,
         # interchange sink: encode -> export as standalone ORC files -> read
         # back with SPARK'S OWN ORC READER (orc-core) -> aggregates; the
@@ -507,6 +532,53 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(bit_xor(h) AS BIGINT) AS doc_xor,
                    CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
             FROM t WHERE len(toks) BETWEEN 30 AND 70 GROUP BY source
+        """,
+        # merge-on-read deletes: the SURVIVORS of deleting n_tok 30..70 —
+        # the complement of pruned_scan's filter over the same derivation
+        "delete_scan": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor(h) AS BIGINT) AS doc_xor,
+                   CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
+            FROM t WHERE len(toks) NOT BETWEEN 30 AND 70 GROUP BY source
+        """,
+        # merge-on-read upsert: the oracle recomputes MERGE INTO over the
+        # same derivation — replaced rows get a 0-token appended, inserted
+        # rows appear under new ids, everything else unchanged
+        "upsert_scan": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, source, toks FROM t WHERE h % 10 <> 3
+              UNION ALL
+              SELECT doc_id, source,
+                     list_concat(toks, [CAST(0 AS BIGINT)]) AS toks
+              FROM t WHERE h % 10 = 3
+              UNION ALL
+              SELECT doc_id || '-n' AS doc_id, source,
+                     [CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                      CAST(3 AS BIGINT)] AS toks
+              FROM t WHERE h % 10 = 7
+            )
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor({_H48.format(x='doc_id')}) AS BIGINT) AS doc_xor,
+                   CAST(sum({_H48.format(x='doc_id')} % 1000003) AS BIGINT) AS doc_sum
+            FROM f GROUP BY source
         """,
         # interchange sink: same derivation, unfiltered — what Spark's own
         # ORC reader must see after our writer's files round-trip

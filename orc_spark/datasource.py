@@ -56,6 +56,22 @@ and `commit(messages, batchId)` publishes them as snapshot
 `<snapshot>-e<batchId>`; a replayed epoch (driver restart) detects the
 already-committed batch manifest and DELETES its re-staged files instead of
 committing twice.
+
+KNOWN UPSTREAM SHARP EDGE (Spark 4.1, `spark.sql.python.filterPushdown
+.enabled`): use ONE action per `load()` when mixing filtered and
+unfiltered reads of the same DataFrame. The JVM caches the Python read
+plan on the relation's `PythonDataSourceV2.readInfo` field; a query WITH
+pushable filters overwrites it (`setReadInfo`) with the pruned plan, and
+a LATER action with no filters on the SAME loaded DataFrame reuses that
+stale pruned plan (`getOrCreateReadInfo`) — returning the previous
+query's filtered rows. Verified against this engine (filtered count then
+unfiltered count on one `load()` returns the filtered count twice; a
+fresh `load()` is always correct, and so is any second query that itself
+carries filters, because the pushdown rule re-plans). Nothing the Python
+reader can observe at plan or read time distinguishes the stale reuse —
+the plan worker is simply never invoked for the second query. Pinned in
+tests/test_deletes.py::test_upstream_readinfo_cache_pin so a Spark
+upgrade that fixes it surfaces here.
 """
 
 from __future__ import annotations
@@ -182,8 +198,9 @@ class TokstripeDataSource(DataSource):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, dels: tuple = ()):
         self.path = path
+        self.dels = dels  # delete files applicable to THIS file (seq-scoped)
 
 
 class _TokstripeReaderBase(DataSourceReader):
@@ -216,6 +233,28 @@ class _TokstripeReaderBase(DataSourceReader):
         }
         self._preds: list[tuple] = []       # exact: engine fully evaluates
         self._hint_preds: list[tuple] = []  # prune-only: Spark re-evaluates
+        # merge-on-read deletes (deletes.py): entries are seq-scoped (an
+        # upsert's delete file applies only to files BELOW its seq), so
+        # partitions() attaches each file's applicable delete paths. Small
+        # key sets load once at planning and ship in the reader (it is
+        # serialized to every task); large sets load per task in read() —
+        # the same per-task equality-delete merge Iceberg readers do,
+        # memory-bounded by the set size (materialize_deletes is the
+        # remedy for huge ones)
+        from . import deletes as _deletes
+
+        self._del_entries = _deletes.normalize_delete_entries(
+            manifest.get("delete_files") or []
+        )
+        self._key_col = (manifest.get("layout") or {}).get("key_col", "doc_id")
+        self._del_keymap = None  # path -> arrow key array, when small
+        if self._del_entries:
+            paths = [p for p, _ in self._del_entries]
+            if _deletes.count_delete_keys(paths) <= _deletes.INLINE_DELETE_MAX:
+                self._del_keymap = {
+                    p: _deletes.load_delete_keys([p], self._key_col)
+                    for p in paths
+                }
 
     # -- planning ---------------------------------------------------------
 
@@ -321,9 +360,23 @@ class _TokstripeReaderBase(DataSourceReader):
             files = plan_scan_files(self._manifest, preds)
         else:
             files = [p["file"] for p in self._manifest["partitions"].values()]
+        if self._del_entries:
+            seq_of = {
+                p["file"]: p.get("seq", 0)
+                for p in self._manifest["partitions"].values()
+            }
+            parts = []
+            for f in files:
+                fs = seq_of.get(f, 0)
+                appl = tuple(sorted(
+                    p for p, s in self._del_entries if s is None or s > fs
+                ))
+                parts.append(_FilePartition(f, appl))
+        else:
+            parts = [_FilePartition(f) for f in files]
         # empty scan: the API needs >= 1 partition; read() of a pruned-out
         # file yields nothing, so hand back one no-op partition
-        return [_FilePartition(f) for f in files] or [_FilePartition("")]
+        return parts or [_FilePartition("")]
 
     # -- execution (executor-side) ---------------------------------------
 
@@ -336,12 +389,42 @@ class _TokstripeReaderBase(DataSourceReader):
 
         preds = self._preds + self._hint_preds
         pcols = [p[1] for p in preds]
-        read_cols = self._names + [c for c in pcols if c not in self._names]
+        appl = getattr(partition, "dels", ())
+        del_keys = None
+        if appl:
+            import pyarrow as pa
+
+            from . import deletes as _deletes
+
+            km = self._del_keymap
+            ks = [
+                km[p] if km is not None
+                else _deletes.load_delete_keys([p], self._key_col)
+                for p in appl
+            ]
+            ks = [
+                k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+                for k in ks
+            ]
+            del_keys = ks[0] if len(ks) == 1 else pa.concat_arrays(ks)
+        need_key = del_keys is not None and self._key_col not in self._names
+        inner = self._names + [self._key_col] if need_key else self._names
+        read_cols = inner + [c for c in pcols if c not in inner]
         pf = pq.ParquetFile(partition.path)
         for b in pf.iter_batches(columns=["blob", "footer"]):
-            yield from decode_blob_batches(
-                [b], preds, read_cols, self._names
-            )
+            for rb in decode_blob_batches([b], preds, read_cols, inner):
+                if del_keys is not None:
+                    import pyarrow.compute as pc
+
+                    hit = pc.fill_null(
+                        pc.is_in(rb.column(inner.index(self._key_col)),
+                                 value_set=del_keys),
+                        False,
+                    )
+                    rb = rb.filter(pc.invert(hit))
+                    if need_key:
+                        rb = rb.select(self._names)
+                yield rb
 
 
 class TokstripeReaderNoPushdown(_TokstripeReaderBase):
@@ -438,7 +521,28 @@ class TokstripeStreamReader(DataSourceStreamReader):
             # forward from legacy to pos); slice is the pos/pos fast path
             new = cand[start.get("pos", 0):]
         new = [s for s in new if s.startswith(self._prefix)]
-        files = [f for s in new for f in wh.committed_files(s)]
+        # this is an APPEND stream (Iceberg incremental-append-scan
+        # semantics, deletes.py): 'delete' snapshots share their parent's
+        # data files verbatim — emitting one would re-deliver the whole
+        # parent table, so they are metadata-only here; 'stage' snapshots
+        # are an upsert's staging commit (their files deliver exactly once
+        # through the upsert dest); an 'upsert' delivers only its NEW
+        # files (partition seq == the upsert's seq). Retractions are out
+        # of scope for an append stream, as in Iceberg.
+        files = []
+        for s in new:
+            m = wh.read_manifest(s)
+            if m is None:  # expired, or a removed stage manifest
+                continue
+            op = m.get("operation")
+            if op in ("delete", "stage"):
+                continue
+            parts = m.get("partitions", {}).values()
+            if op == "upsert":
+                seq = m.get("seq")
+                files += [p["file"] for p in parts if p.get("seq", 0) == seq]
+            else:
+                files += [p["file"] for p in parts]
         return [_FilePartition(f) for f in files] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):

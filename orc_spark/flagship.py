@@ -267,6 +267,143 @@ def pruned_scan_summary(
     return _with_encoded(spark, sf_dir, "pruned", consume, salt_buckets, stripe_tokens)
 
 
+def delete_scan_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 8,
+    stripe_tokens: int = 2_000_000,
+) -> DataFrame:
+    """Merge-on-read delete gate (deletes.py): encode → `delete_where(n_tok
+    BETWEEN 30 AND 70)` (keys found via the pruned scan, committed as a new
+    snapshot sharing the parent's files) → decode the delete snapshot and
+    aggregate the SURVIVING rows. The DuckDB oracle filters the re-derived
+    tokens to NOT BETWEEN, so a delete that drops a survivor or resurrects
+    a deleted row flips the value hash. In-gate cross-checks before the
+    oracle sees anything:
+      * the forced `left_anti`-join path (delete_inline_max=0) must equal
+        the inline is_in-mask path — both apply strategies certified on
+        every run;
+      * `spark.read.format("tokstripe")` on the delete snapshot must see
+        the same survivors (the format's per-task equality-delete merge);
+      * time travel to the parent (`metadata.snapshot_as_of` one commit-log
+        ordinal back) must still count EVERY row — deletes are snapshots,
+        not mutations;
+      * `maintenance.materialize_deletes` must rewrite to a delete-free
+        manifest whose decode equals the survivors bit-for-bit."""
+    from . import deletes as _deletes
+    from .datasource import register
+    from .maintenance import materialize_deletes
+    from .metadata import snapshot_as_of
+    from .warehouse import Warehouse
+
+    def consume(wh):
+        n_total = decode_table(spark, wh, snapshot="dels").count()
+        res = _deletes.delete_where(spark, wh, ("n_tok", 30, 70), snapshot="dels")
+        snap = res["snapshot_id"]
+        if res["n_deleted"] <= 0:
+            raise AssertionError("delete predicate matched no rows")
+        out = _checksum_summary(
+            spark, decode_table(spark, wh, snapshot=snap)
+        )
+        rows = sorted(map(tuple, out.collect()))
+        anti = _checksum_summary(
+            spark, decode_table(spark, wh, snapshot=snap, delete_inline_max=0)
+        )
+        if sorted(map(tuple, anti.collect())) != rows:
+            raise AssertionError("anti-join delete path != inline-mask path")
+        register(spark)
+        fmt = (
+            spark.read.format("tokstripe")
+            .option("path", wh).option("snapshot", snap).load()
+        )
+        if sorted(map(tuple, _checksum_summary(spark, fmt).collect())) != rows:
+            raise AssertionError("tokstripe read of delete snapshot differs")
+        parent = snapshot_as_of(wh, ordinal=len(Warehouse(wh).commit_log()) - 2)
+        if decode_table(spark, wh, snapshot=parent).count() != n_total:
+            raise AssertionError("time travel to pre-delete snapshot lost rows")
+        mat = materialize_deletes(spark, wh, snapshot=snap)
+        if mat.get("delete_files"):
+            raise AssertionError("materialized snapshot still carries deletes")
+        mdec = _checksum_summary(
+            spark, decode_table(spark, wh, snapshot=mat["snapshot_id"])
+        )
+        if sorted(map(tuple, mdec.collect())) != rows:
+            raise AssertionError("materialize_deletes changed the survivors")
+        return out
+
+    return _with_encoded(spark, sf_dir, "dels", consume, salt_buckets, stripe_tokens)
+
+
+def upsert_scan_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 8,
+    stripe_tokens: int = 2_000_000,
+) -> DataFrame:
+    """Merge-on-read UPSERT gate (deletes.upsert — the MERGE INTO analog):
+    encode → derive `df_new` FROM THE DECODED warehouse (updated slice
+    h48(doc_id)%10==3 with a 0-token appended; inserted slice %10==7 under
+    new ids with tokens [1,2,3]) → upsert → aggregate the merged table.
+    The DuckDB oracle recomputes the same merge from raw documents, so a
+    reader that resurrects a replaced row, drops an inserted one, or
+    leaks an old version through the seq scoping flips the value hash.
+    In-gate: anti-join parity, tokstripe format parity, and time travel
+    to the parent still counts every original row."""
+    from . import deletes as _deletes
+    from .datasource import register
+    from .metadata import snapshot_as_of
+    from .textops import _h48
+    from .warehouse import Warehouse
+
+    def consume(wh):
+        base = decode_table(spark, wh, snapshot="ups")
+        n_total = base.count()
+        h = _h48(F.col("doc_id")) % 10
+        upd = (
+            base.where(h == 3)
+            .withColumn(
+                "tokens", F.concat("tokens", F.array(F.lit(0).cast("int")))
+            )
+            .withColumn("n_tok", F.size("tokens").cast("int"))
+        )
+        ins = (
+            base.where(h == 7)
+            .select(
+                F.concat("doc_id", F.lit("-n")).alias("doc_id"),
+                F.array(
+                    F.lit(1).cast("int"), F.lit(2).cast("int"),
+                    F.lit(3).cast("int"),
+                ).alias("tokens"),
+                F.col("source"),
+            )
+            .withColumn("n_tok", F.size("tokens").cast("int"))
+        )
+        res = _deletes.upsert(spark, wh, upd.unionByName(ins), snapshot="ups")
+        snap = res["snapshot_id"]
+        if res["n_upserted"] <= 0:
+            raise AssertionError("upsert wrote no keys")
+        out = _checksum_summary(spark, decode_table(spark, wh, snapshot=snap))
+        rows = sorted(map(tuple, out.collect()))
+        anti = _checksum_summary(
+            spark, decode_table(spark, wh, snapshot=snap, delete_inline_max=0)
+        )
+        if sorted(map(tuple, anti.collect())) != rows:
+            raise AssertionError("anti-join upsert read != inline-mask read")
+        register(spark)
+        fmt = (
+            spark.read.format("tokstripe")
+            .option("path", wh).option("snapshot", snap).load()
+        )
+        if sorted(map(tuple, _checksum_summary(spark, fmt).collect())) != rows:
+            raise AssertionError("tokstripe read of upsert snapshot differs")
+        parent = snapshot_as_of(wh, ordinal=0)
+        if decode_table(spark, wh, snapshot=parent).count() != n_total:
+            raise AssertionError("time travel to pre-upsert snapshot lost rows")
+        return out
+
+    return _with_encoded(spark, sf_dir, "ups", consume, salt_buckets, stripe_tokens)
+
+
 def dsv2_scan_summary(
     spark: SparkSession,
     sf_dir: str,

@@ -23,8 +23,12 @@ count, and tiny stripes under-amortize their footers. These are the Iceberg
   when stripes (not just files) are fragmented.
 
 Both commit `dest_snapshot` atomically with `compacted_from` lineage; source
-snapshots stay readable until `expire_snapshots` removes them (data files
-are per-snapshot, never shared, so expiry is a pure delete).
+snapshots stay readable until `expire_snapshots` removes them. Expiry
+reference-checks data files against the surviving manifests because
+merge-on-read delete snapshots (deletes.py) share their parent's files;
+`concat` refuses delete-bearing sources (verbatim blob copy would resurrect
+deleted rows) — `materialize_deletes` / `mode="reencode"` rewrite those
+through the full decode (deletes applied) -> encode pipeline instead.
 
 At 100 TB: concat tasks are pure streaming copies (memory = one Arrow row
 group), one task per pid, no shuffle, no driver funnel; expiry is a metadata
@@ -195,6 +199,14 @@ def compact_snapshots(
         return wh.commit(dest_snapshot, {}, schema, extra=extra)
     if mode != "concat":
         raise ValueError(f"unknown compaction mode {mode!r}")
+    for s, m in zip(snapshots, manifests):
+        if m.get("delete_files"):
+            raise ValueError(
+                f"snapshot {s!r} carries merge-on-read delete files: concat "
+                "copies blobs verbatim and would resurrect deleted rows — "
+                "use maintenance.materialize_deletes (or mode='reencode') "
+                "to rewrite it first"
+            )
 
     # pid -> ordered source files + parsed key ranges (driver-side metadata
     # only: O(#pids), the same scale class as an Iceberg manifest rewrite)
@@ -258,37 +270,114 @@ def compact_snapshots(
     return wh.commit(dest_snapshot, parts, schema, extra=extra)
 
 
+def materialize_deletes(
+    spark: SparkSession,
+    warehouse_path: str,
+    snapshot: str | None = None,
+    dest_snapshot: str | None = None,
+    stripe_tokens: int = DEFAULT_STRIPE_TOKENS,
+    salt_buckets: int = 32,
+) -> dict:
+    """Rewrite a delete-bearing snapshot into `dest_snapshot` with its
+    merge-on-read deletes applied — the Iceberg
+    `rewrite_data_files` pass that folds v2 delete files back into data
+    files. decode_table applies the delete files during the scan, so this
+    is exactly the reencode pipeline; the resulting manifest carries NO
+    `delete_files` (the rows are physically gone) plus
+    `materialized_from` lineage. The source snapshot stays readable (and
+    still merge-on-read) until expired; its delete files become
+    collectable once no surviving manifest references them. Cost: full
+    decode+encode of the LIVE rows — pay it when the delete ratio or the
+    per-read merge cost warrants, same calculus as Iceberg."""
+    wh = Warehouse(warehouse_path)
+    snapshot = snapshot or wh.current_snapshot_id()
+    m = wh.read_manifest(snapshot)
+    if not m:
+        raise ValueError(f"no manifest for snapshot {snapshot!r}")
+    dels = m.get("delete_files") or []
+    if dest_snapshot is None:
+        dest_snapshot = f"{snapshot}-mat"
+    if wh.read_manifest(dest_snapshot):
+        raise ValueError(f"snapshot {dest_snapshot!r} already exists")
+    layout = m.get("layout") or {}
+    df = decode_table(spark, warehouse_path, snapshot=snapshot)
+    encode_table(
+        spark,
+        df,
+        warehouse_path,
+        dest_snapshot,
+        salt_buckets=salt_buckets,
+        stripe_tokens=stripe_tokens,
+        key_col=layout.get("key_col", "doc_id"),
+        source_col=layout.get("source_col", "source"),
+        weight_col=layout.get("weight_col", "n_tok"),
+    )
+    return wh.commit(
+        dest_snapshot,
+        {},
+        m["schema"],
+        extra={
+            "layout": layout,
+            "materialized_from": snapshot,
+            "deletes_applied": len(dels),
+        },
+    )
+
+
 def expire_snapshots(
     warehouse_path: str, expire: list[str], keep_current: bool = True
 ) -> dict:
-    """Delete the listed snapshots' manifests, data files, and bloom
-    sidecars. Data files are per-snapshot (never shared — encode, stream,
-    and compact all write `snap-<id>.parquet` under each pid), so expiry is
-    a pure delete with no reference counting. Refuses to expire the CURRENT
-    snapshot unless `keep_current=False` (after compaction, CURRENT is the
-    dest snapshot, so expiring the sources is always safe). Idempotent:
-    missing files are fine. Returns {'files_deleted': n, 'snapshots': [...]}.
-    At 100 TB the deletes fan out per object; here a local walk suffices."""
+    """Delete the listed snapshots' manifests, then every data file, bloom
+    sidecar, and delete file of theirs that no SURVIVING manifest still
+    references. Encode, stream, and compact write per-snapshot files, but
+    merge-on-read delete snapshots (deletes.py) share their parent's data
+    files verbatim — so expiry reference-checks against the remaining
+    manifests (the same reachability root vacuum uses) instead of assuming
+    exclusivity: expiring a delete's parent keeps the shared files alive
+    for the child, expiring both collects them. Refuses to expire the
+    CURRENT snapshot unless `keep_current=False` (after compaction, CURRENT
+    is the dest snapshot, so expiring the sources is always safe).
+    Idempotent: missing files are fine. Returns {'files_deleted': n,
+    'snapshots': [...]}. At 100 TB the deletes fan out per object and the
+    reference set is O(#partitions x #snapshots) manifest entries — driver
+    metadata, same as Iceberg's expire-snapshots planning."""
     wh = Warehouse(warehouse_path)
     cur = wh.current_snapshot_id()
-    n = 0
+    expiring = set(expire)
     for s in expire:
         if keep_current and s == cur:
             raise ValueError(f"refusing to expire CURRENT snapshot {s!r}")
-        m = wh.read_manifest(s)
-        for f in (m or {}).get("partitions", {}).values():
-            for path in (f["file"], f["file"] + ".bloom.json"):
-                try:
-                    os.remove(path)
-                    n += 1
-                except OSError:
-                    pass
+    doomed = [wh.read_manifest(s) for s in expire]
+    # drop manifests first so the survivors' reference set is final
+    n = 0
+    for s in expire:
         try:
             os.remove(wh.manifest_file(s))
             n += 1
         except OSError:
             pass
-    return {"files_deleted": n, "snapshots": list(expire)}
+    from .deletes import delete_files_of
+
+    live: set[str] = set()
+    for f in os.listdir(wh.manifest_dir):
+        if not (f.startswith("snap-") and f.endswith(".json")):
+            continue
+        m = wh.read_manifest(f[len("snap-"):-len(".json")])
+        live.update(p["file"] for p in (m or {}).get("partitions", {}).values())
+        live.update(delete_files_of(m))
+    for m in doomed:
+        cand = [f["file"] for f in (m or {}).get("partitions", {}).values()]
+        cand += delete_files_of(m)
+        for f in cand:
+            if f in live:
+                continue
+            for path in (f, f + ".bloom.json"):
+                try:
+                    os.remove(path)
+                    n += 1
+                except OSError:
+                    pass
+    return {"files_deleted": n, "snapshots": list(expiring)}
 
 
 VACUUM_MIN_AGE_S = 3 * 24 * 3600.0  # Iceberg remove_orphan_files' default
@@ -331,6 +420,10 @@ def vacuum_orphans(
     for snap in manifests:
         m = wh.read_manifest(snap)
         committed.update(p["file"] for p in (m or {}).get("partitions", {}).values())
+        # merge-on-read delete files are manifest-reachable too (deletes.py)
+        from .deletes import delete_files_of
+
+        committed.update(delete_files_of(m))
     now = time.time()
     deleted = bytes_deleted = kept = 0
     for root, _, files in os.walk(wh.data_dir):

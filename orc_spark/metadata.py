@@ -118,3 +118,41 @@ def files_table(
                 p.get("max_doc_id"),
             ))
     return spark.createDataFrame(rows, FILES_SCHEMA)
+
+
+def snapshot_as_of(
+    warehouse_path: str,
+    ordinal: int | None = None,
+    timestamp: float | None = None,
+) -> str:
+    """Time travel (Iceberg `VERSION AS OF` / `TIMESTAMP AS OF`): resolve a
+    commit-log ordinal, or the last snapshot committed at-or-before a unix
+    `timestamp`, to its snapshot name — pass the result as `snapshot=` to
+    decode_table / tokstripe. Pure metadata: the commit log orders
+    snapshots, manifests carry `committed_at`. Merge-on-read deletes make
+    this genuinely historical: a delete commits a NEW snapshot sharing the
+    parent's data files (deletes.py), so the pre-delete ordinal still reads
+    every row. Raises on expired targets (their data is gone) and on
+    out-of-range requests."""
+    if (ordinal is None) == (timestamp is None):
+        raise ValueError("pass exactly one of ordinal / timestamp")
+    wh = Warehouse(warehouse_path)
+    log = wh.commit_log()
+    if ordinal is not None:
+        if not 0 <= ordinal < len(log):
+            raise ValueError(f"ordinal {ordinal} out of range 0..{len(log) - 1}")
+        snap = log[ordinal]
+        if wh.read_manifest(snap) is None:
+            raise ValueError(f"snapshot {snap!r} at ordinal {ordinal} is expired")
+        return snap
+    best = None
+    for snap in log:
+        m = wh.read_manifest(snap)
+        if m is None:
+            continue
+        at = m.get("committed_at") or m.get("created_at") or 0.0
+        if at <= timestamp:
+            best = snap
+    if best is None:
+        raise ValueError(f"no snapshot committed at or before {timestamp}")
+    return best

@@ -374,6 +374,8 @@ def encode_table(
     source_col: str | None = "source",
     weight_col: str | None = "n_tok",
     key_blooms: bool = True,
+    extra: dict | None = None,
+    advance_current: bool = True,
 ) -> dict:
     """Encode a (doc_id, tokens, n_tok, source) DataFrame into the warehouse;
     returns the committed manifest. Resumable: committed partitions are
@@ -407,7 +409,7 @@ def encode_table(
             if v is not None:
                 adopted[pid] = {**v, "file": f, "adopted": True, "encode_s": 0.0}
         if adopted:
-            wh.commit(snapshot, adopted, schema)
+            wh.commit(snapshot, adopted, schema, advance_current=advance_current)
             committed |= set(adopted)
     if committed:
         if len(committed) <= 1000:
@@ -444,7 +446,11 @@ def encode_table(
     for p in partitions.values():
         p["tokens_per_s"] = p["n_tokens"] / p["encode_s"] if p["encode_s"] else None
     layout = {"key_col": key_col, "source_col": source_col, "weight_col": weight_col}
-    return wh.commit(snapshot, partitions, schema, extra={"layout": layout})
+    return wh.commit(
+        snapshot, partitions, schema,
+        extra={"layout": layout, **(extra or {})},
+        advance_current=advance_current,
+    )
 
 
 _ARROW_TO_SPARK = {
@@ -620,6 +626,7 @@ def decode_table(
     columns: list[str] | None = None,
     predicate: tuple | list | None = None,
     prune_metrics: dict | None = None,
+    delete_inline_max: int | None = None,
 ) -> DataFrame:
     """Read committed stripes back into the original rows. Column projection
     prunes at the stream level (untouched columns are never decompressed).
@@ -650,7 +657,16 @@ def decode_table(
     `prune_metrics` (optional dict) records proof that pruning fired:
     'files_total'/'files_pruned' are filled immediately (driver-side);
     'stripes_seen'/'stripes_skipped' are Spark accumulators — read
-    `.value` after an action on the returned DataFrame."""
+    `.value` after an action on the returned DataFrame.
+
+    Merge-on-read deletes (deletes.py): when the snapshot's manifest lists
+    `delete_files`, rows whose layout key appears in them are dropped —
+    inline (an arrow `is_in` mask inside the decode kernel, zero extra
+    shuffle) when the total delete-key count (parquet footers, driver-side)
+    is ≤ `delete_inline_max` (default deletes.INLINE_DELETE_MAX), else via
+    a `left_anti` join against the delete files (the unbounded path; Spark
+    broadcasts or sort-merges by size). Both are exact; the `delete_scan`
+    gate runs each against the other and the SQL oracle."""
     wh = Warehouse(warehouse_path)
     snapshot = snapshot or wh.current_snapshot_id()
     manifest = wh.read_manifest(snapshot)
@@ -680,18 +696,110 @@ def decode_table(
     acc_seen = (prune_metrics or {}).get("stripes_seen")
     acc_skip = (prune_metrics or {}).get("stripes_skipped")
     acc_bloom = (prune_metrics or {}).get("stripes_bloom_skipped")
-    # predicate columns must be decoded to filter rows; drop them after if
-    # the caller did not ask for them
-    pcols = [p[1] for p in preds]
-    read_cols = names + [c for c in pcols if c not in names]
 
-    def decode_partition(batches):
-        yield from decode_blob_batches(
-            batches, preds, read_cols, names, acc_seen, acc_skip, acc_bloom
+    # merge-on-read deletes (deletes.py): delete entries are SEQ-SCOPED —
+    # plain (delete_where) entries apply to every data file; {'path','seq'}
+    # (upsert) entries apply only to files whose partition seq is lower,
+    # so an upsert's own files keep the re-inserted keys. Group the
+    # surviving files by their applicable delete set (a delete-free table
+    # and the plain-delete case both collapse to ONE group), then pick the
+    # apply strategy once from the TOTAL key count (parquet footers,
+    # driver-side): inline is_in mask inside the decode kernel (zero extra
+    # shuffle) vs a left_anti join per group (the unbounded path; Spark
+    # broadcasts or sort-merges by size).
+    dels_raw = (manifest or {}).get("delete_files") or []
+    key_col = ((manifest or {}).get("layout") or {}).get("key_col", "doc_id")
+    groups: dict[tuple[str, ...], list[str]] = {}
+    if dels_raw:
+        from . import deletes as _deletes
+
+        part_seq = {
+            p["file"]: p.get("seq", 0)
+            for p in manifest["partitions"].values()
+        }
+        entries = _deletes.normalize_delete_entries(dels_raw)
+        for f in files:
+            fseq = part_seq.get(f, 0)
+            appl = tuple(sorted(
+                path for path, s in entries if s is None or s > fseq
+            ))
+            groups.setdefault(appl, []).append(f)
+    else:
+        groups[()] = list(files)
+    all_del_paths = sorted({p for appl in groups for p in appl})
+    inline_keymap = None  # path -> arrow key array, shipped in task closures
+    anti_join = False
+    if all_del_paths:
+        from . import deletes as _deletes
+
+        n_del = _deletes.count_delete_keys(all_del_paths)
+        cap = (
+            delete_inline_max
+            if delete_inline_max is not None
+            else _deletes.INLINE_DELETE_MAX
         )
+        if n_del == 0:
+            groups = {(): [f for fs in groups.values() for f in fs]}
+        elif n_del <= cap:
+            inline_keymap = {
+                p: _deletes.load_delete_keys([p], key_col)
+                for p in all_del_paths
+            }
+        else:
+            anti_join = True
 
-    sdf = spark.read.parquet(*files).select("blob", "footer")
-    return sdf.mapInArrow(decode_partition, out_schema)
+    # predicate columns must be decoded to filter rows; drop them after if
+    # the caller did not ask for them (the delete key is handled the same
+    # way, per group)
+    pcols = [p[1] for p in preds]
+
+    def decode_branch(gfiles: list[str], appl: tuple[str, ...]) -> DataFrame:
+        use_key = bool(appl) and (inline_keymap is not None or anti_join)
+        nk = use_key and key_col not in names
+        inner = names + [key_col] if nk else names
+        ischema = ", ".join(f"{n} {_spark_type_str(schema[n])}" for n in inner)
+        rcols = inner + [c for c in pcols if c not in inner]
+        keyset = None
+        if inline_keymap is not None and appl:
+            import pyarrow as pa
+
+            ks = [
+                k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+                for k in (inline_keymap[p] for p in appl)
+            ]
+            keyset = ks[0] if len(ks) == 1 else pa.concat_arrays(ks)
+
+        def decode_partition(batches):
+            it = decode_blob_batches(
+                batches, preds, rcols, inner, acc_seen, acc_skip, acc_bloom
+            )
+            if keyset is None:
+                yield from it
+                return
+            import pyarrow.compute as pc
+
+            kidx = inner.index(key_col)
+            for b in it:
+                # null keys are kept: is_in(null)=null -> fill False ->
+                # invert True matches left_anti's null-join semantics
+                hit = pc.fill_null(
+                    pc.is_in(b.column(kidx), value_set=keyset), False
+                )
+                fb = b.filter(pc.invert(hit))
+                yield fb.select(names) if nk else fb
+
+        sdf = spark.read.parquet(*gfiles).select("blob", "footer")
+        if anti_join and appl:
+            out = sdf.mapInArrow(decode_partition, ischema)
+            dk = spark.read.parquet(*appl).select(key_col).distinct()
+            return out.join(dk, on=key_col, how="left_anti").select(*names)
+        return sdf.mapInArrow(decode_partition, out_schema)
+
+    branches = [decode_branch(gf, appl) for appl, gf in groups.items()]
+    res = branches[0]
+    for b in branches[1:]:
+        res = res.unionByName(b)
+    return res
 
 
 def plan_scan_files(

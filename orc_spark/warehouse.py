@@ -112,12 +112,15 @@ class Warehouse:
             with open(logf, "a") as fh:
                 fh.write(snapshot + "\n")
 
-    def commit(self, snapshot: str, partitions: dict[str, dict], schema: dict, extra: dict | None = None) -> dict:
+    def commit(self, snapshot: str, partitions: dict[str, dict], schema: dict, extra: dict | None = None, advance_current: bool = True) -> dict:
         """Atomically (tmp+rename) write the manifest and advance CURRENT.
 
         `partitions` maps pid -> {file, n_rows, n_tokens, enc_bytes, metrics…}
         (the per-partition lineage + throughput rows the rule requires).
         Idempotent per (snapshot, pid): re-commits merge by pid.
+        `advance_current=False` commits without moving the CURRENT pointer —
+        for staging snapshots (deletes.upsert) that must never become the
+        table's default read, even through a crash window.
         """
         manifest = self.read_manifest(snapshot) or {
             "snapshot_id": snapshot,
@@ -135,10 +138,11 @@ class Warehouse:
             json.dump(manifest, fh)
         os.replace(tmp, self.manifest_file(snapshot))
         self._log_commit(snapshot)
-        fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as fh:
-            fh.write(snapshot)
-        os.replace(tmp, os.path.join(self.manifest_dir, "CURRENT"))
+        if advance_current:
+            fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as fh:
+                fh.write(snapshot)
+            os.replace(tmp, os.path.join(self.manifest_dir, "CURRENT"))
         return manifest
 
     def committed_pids(self, snapshot: str) -> set[str]:
@@ -213,3 +217,18 @@ class Warehouse:
         if not m:
             return []
         return [p["file"] for p in m["partitions"].values()]
+
+    def rollback(self, snapshot: str) -> None:
+        """Move CURRENT back to an earlier committed snapshot (Iceberg
+        `rollback_to_snapshot`): pure pointer move, atomic tmp+rename, no
+        file is touched — the rolled-past snapshots stay readable by name
+        (and stay in the commit log; their ordinals are stream offsets)
+        until expire_snapshots collects them. The natural undo for a
+        merge-on-read delete: roll back to the delete's parent and every
+        row is live again."""
+        if self.read_manifest(snapshot) is None:
+            raise ValueError(f"cannot roll back to {snapshot!r}: no manifest")
+        fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(snapshot)
+        os.replace(tmp, os.path.join(self.manifest_dir, "CURRENT"))
