@@ -147,6 +147,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return upsert_scan_summary(spark, sf_dir)
 
+    def _cdc_scan(spark, sf_dir):
+        _ship(spark)
+        # changelog read: per-commit insert/delete rows from manifest
+        # diffs (pre-images decoded from the parent via pruned point
+        # lookups); in-gate replay onto the base must equal the final
+        from orc_spark.flagship import cdc_scan_summary
+
+        return cdc_scan_summary(spark, sf_dir)
+
+    def _schema_evolution(spark, sf_dir):
+        _ship(spark)
+        # metadata-only rename+add, then an upsert under the new names:
+        # old-name and new-name stripes decode through the alias mapping,
+        # added column null-fills in pre-add files
+        from orc_spark.flagship import schema_evolution_summary
+
+        return schema_evolution_summary(spark, sf_dir)
+
     def _dsv2_events(spark, sf_dir):
         _ship(spark)
         # the time-series consumer's predicate (event_type IN + ts range)
@@ -263,6 +281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parent snapshot time-travels to the full table
         "delete_scan": _delete_scan,
         "upsert_scan": _upsert_scan,
+        "schema_evolution": _schema_evolution,
+        "cdc_scan": _cdc_scan,
         "pruned_scan_multi": _pruned_multi,
         # interchange sink: encode -> export as standalone ORC files -> read
         # back with SPARK'S OWN ORC READER (orc-core) -> aggregates; the
@@ -576,6 +596,67 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
                    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
                                         (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor({_H48.format(x='doc_id')}) AS BIGINT) AS doc_xor,
+                   CAST(sum({_H48.format(x='doc_id')} % 1000003) AS BIGINT) AS doc_sum
+            FROM f GROUP BY source
+        """,
+        # changelog: the oracle recomputes the exact change stream — the
+        # delete commit's pre-images, the upsert's old-version deletes and
+        # new-version inserts (brand-new keys emit insert only)
+        "cdc_scan": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents),
+            live AS (SELECT * FROM t WHERE len(toks) NOT BETWEEN 30 AND 70),
+            ch AS (
+              SELECT 'delete' AS change, doc_id, source, toks
+              FROM t WHERE len(toks) BETWEEN 30 AND 70
+              UNION ALL
+              SELECT 'delete', doc_id, source, toks
+              FROM live WHERE h % 10 = 3
+              UNION ALL
+              SELECT 'insert', doc_id, source,
+                     list_concat(toks, [CAST(0 AS BIGINT)])
+              FROM live WHERE h % 10 = 3
+              UNION ALL
+              SELECT 'insert', doc_id || '-e', source, [CAST(9 AS BIGINT)]
+              FROM live WHERE h % 10 = 7
+            )
+            SELECT change, source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor({_H48.format(x='doc_id')}) AS BIGINT) AS doc_xor,
+                   CAST(sum({_H48.format(x='doc_id')} % 1000003) AS BIGINT) AS doc_sum
+            FROM ch GROUP BY change, source
+        """,
+        # schema evolution: rename tokens->toks + add lang (null in old
+        # rows), then an upsert inserts new-name rows with lang set — the
+        # oracle recomputes the evolved+merged table
+        "schema_evolution": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, source, toks, CAST(NULL AS VARCHAR) AS lang
+              FROM t
+              UNION ALL
+              SELECT doc_id || '-e' AS doc_id, source,
+                     [CAST(9 AS BIGINT), CAST(9 AS BIGINT)] AS toks,
+                     'xx' AS lang
+              FROM t WHERE h % 10 = 7
+            )
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(count(lang) AS BIGINT) AS langs,
                    CAST(bit_xor({_H48.format(x='doc_id')}) AS BIGINT) AS doc_xor,
                    CAST(sum({_H48.format(x='doc_id')} % 1000003) AS BIGINT) AS doc_sum
             FROM f GROUP BY source

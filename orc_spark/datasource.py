@@ -231,6 +231,9 @@ class _TokstripeReaderBase(DataSourceReader):
         self._types = {
             n: _spark_type_str(t) for n, t in manifest["schema"].items()
         }
+        # schema evolution (evolution.py): current name -> prior stored
+        # names; resolved per stripe in the shared decode kernel
+        self._colmap = manifest.get("column_mapping")
         self._preds: list[tuple] = []       # exact: engine fully evaluates
         self._hint_preds: list[tuple] = []  # prune-only: Spark re-evaluates
         # merge-on-read deletes (deletes.py): entries are seq-scoped (an
@@ -412,7 +415,11 @@ class _TokstripeReaderBase(DataSourceReader):
         read_cols = inner + [c for c in pcols if c not in inner]
         pf = pq.ParquetFile(partition.path)
         for b in pf.iter_batches(columns=["blob", "footer"]):
-            for rb in decode_blob_batches([b], preds, read_cols, inner):
+            for rb in decode_blob_batches(
+                [b], preds, read_cols, inner,
+                colmap=self._colmap,
+                coltypes=self._raw_types if self._colmap else None,
+            ):
                 if del_keys is not None:
                     import pyarrow.compute as pc
 

@@ -205,6 +205,8 @@ def delete_where(
     # (all have seq <= max_seq) but not to files a LATER upsert commits at
     # a higher seq — otherwise re-inserting a once-deleted key would
     # silently resurrect the old delete. Exactly Iceberg's sequence rule.
+    from .evolution import inherited_meta
+
     seq = max_seq(manifest) + 1
     out = wh.commit(
         dest,
@@ -216,6 +218,7 @@ def delete_where(
             + [{"path": p, "seq": seq} for p in new_files],
             "operation": "delete",
             "delete_parent": snapshot,
+            **inherited_meta(manifest),
         },
     )
     out["n_deleted"] = n_deleted
@@ -307,6 +310,8 @@ def upsert(
     dels = list(manifest.get("delete_files") or [])
     dels += [{"path": p, "seq": seq} for p in new_files]
 
+    from .evolution import inherited_meta
+
     out = wh.commit(
         dest,
         merged,
@@ -317,6 +322,7 @@ def upsert(
             "operation": "upsert",
             "upsert_parent": snapshot,
             "seq": seq,
+            **inherited_meta(manifest),
         },
     )
     # drop the stage manifest: its files are reachable through dest now

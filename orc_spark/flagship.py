@@ -404,6 +404,195 @@ def upsert_scan_summary(
     return _with_encoded(spark, sf_dir, "ups", consume, salt_buckets, stripe_tokens)
 
 
+CDC_SCHEMA = (
+    "change string, source string, n_rows long, n_tokens long, "
+    "token_sum long, doc_xor long, doc_sum long"
+)
+
+
+def cdc_scan_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 8,
+    stripe_tokens: int = 2_000_000,
+) -> DataFrame:
+    """Changelog gate (cdc.py): encode → delete_where(n_tok 30..70) →
+    upsert (update slice h%10==3 with a 0-token appended; insert slice
+    %10==7 under '-e' ids with tokens [9]) → `changes_between` from the
+    base ordinal → aggregate per (change, source). The DuckDB oracle
+    recomputes the exact changelog — the delete commit's pre-images, the
+    upsert's old-version deletes and new-version inserts — so a missing
+    pre-image, a phantom delete for a brand-new key, or a wrong commit
+    attribution flips the value hash. In-gate: replaying the changelog
+    onto the base snapshot must reproduce the final table exactly."""
+    from . import deletes as _deletes
+    from .cdc import changes_between
+    from .textops import _h48
+
+    def consume(wh):
+        d = _deletes.delete_where(spark, wh, ("n_tok", 30, 70),
+                                  snapshot="cdc")["snapshot_id"]
+        live = decode_table(spark, wh, snapshot=d)
+        h = _h48(F.col("doc_id")) % 10
+        upd = (
+            live.where(h == 3)
+            .withColumn("tokens", F.concat("tokens", F.array(F.lit(0).cast("int"))))
+            .withColumn("n_tok", F.size("tokens").cast("int"))
+        )
+        ins = (
+            live.where(h == 7)
+            .select(
+                F.concat("doc_id", F.lit("-e")).alias("doc_id"),
+                F.array(F.lit(9).cast("int")).alias("tokens"),
+                F.col("source"),
+            )
+            .withColumn("n_tok", F.size("tokens").cast("int"))
+        )
+        u = _deletes.upsert(spark, wh, upd.unionByName(ins), snapshot=d)[
+            "snapshot_id"
+        ]
+        ch = changes_between(spark, wh, "cdc", u).persist()
+        try:
+            rows = (
+                ch.groupBy("_change_type", "source")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.size("tokens")).alias("n_tokens"),
+                    F.sum(
+                        F.aggregate(
+                            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+                        )
+                    ).alias("token_sum"),
+                    F.bit_xor(_h48(F.col("doc_id"))).alias("doc_xor"),
+                    F.sum(_h48(F.col("doc_id")) % DOC_SUM_MOD).alias("doc_sum"),
+                )
+                .collect()
+            )
+            # replay invariant: base + changelog == final table
+            base_d = decode_table(spark, wh, snapshot="cdc")
+            dels = ch.where("_change_type = 'delete'").select("doc_id")
+            inss = ch.where("_change_type = 'insert'").select(
+                "doc_id", "tokens", "source", "n_tok"
+            )
+            replayed = (
+                base_d.join(dels, "doc_id", "left_anti").unionByName(inss)
+            )
+            final = decode_table(spark, wh, snapshot=u)
+            if replayed.exceptAll(final).count() or \
+                    final.exceptAll(replayed).count():
+                raise AssertionError("changelog replay != final table")
+        finally:
+            ch.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    r["_change_type"], r["source"], int(r["n_rows"]),
+                    int(r["n_tokens"]), int(r["token_sum"]),
+                    int(r["doc_xor"]), int(r["doc_sum"]),
+                )
+                for r in rows
+            ],
+            CDC_SCHEMA,
+        )
+
+    return _with_encoded(spark, sf_dir, "cdc", consume, salt_buckets, stripe_tokens)
+
+
+EVO_SCHEMA = (
+    "source string, n_rows long, n_tokens long, token_sum long, "
+    "langs long, doc_xor long, doc_sum long"
+)
+
+
+def schema_evolution_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 8,
+    stripe_tokens: int = 2_000_000,
+) -> DataFrame:
+    """Schema-evolution gate (evolution.py): encode → RENAME the payload
+    column (tokens → toks; metadata-only, stripe footers keep the old
+    stored name) and ADD a column (lang, null-filled in pre-add files) →
+    UPSERT an inserted slice written under the NEW names with lang
+    populated → aggregate the mixed table. Old-name stripes and new-name
+    stripes decode through the same alias mapping; the DuckDB oracle
+    recomputes the final table, so a misresolved alias, a wrong null
+    fill, or a version leak flips the value hash. In-gate: tokstripe
+    format parity on the evolved schema and time travel to the pre-
+    evolution snapshot (old column name intact)."""
+    from . import deletes as _deletes
+    from .datasource import register
+    from .evolution import evolve_schema
+    from .metadata import snapshot_as_of
+    from .textops import _h48
+
+    def consume(wh):
+        ev = evolve_schema(
+            wh, snapshot="evo",
+            rename={"tokens": "toks"}, add={"lang": "string"},
+        )["snapshot_id"]
+        base = decode_table(spark, wh, snapshot=ev)
+        ins = (
+            base.where(_h48(F.col("doc_id")) % 10 == 7)
+            .select(
+                F.concat("doc_id", F.lit("-e")).alias("doc_id"),
+                F.array(F.lit(9).cast("int"), F.lit(9).cast("int")).alias("toks"),
+                F.col("source"),
+                F.lit(2).cast("int").alias("n_tok"),
+                F.lit("xx").alias("lang"),
+            )
+        )
+        res = _deletes.upsert(spark, wh, ins, snapshot=ev)
+        snap = res["snapshot_id"]
+        if res["n_upserted"] <= 0:
+            raise AssertionError("evolution upsert wrote no keys")
+
+        def agg(df):
+            rows = (
+                df.groupBy("source")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.size("toks")).alias("n_tokens"),
+                    F.sum(
+                        F.aggregate(
+                            "toks", F.lit(0).cast("long"), lambda a, x: a + x
+                        )
+                    ).alias("token_sum"),
+                    F.count("lang").alias("langs"),
+                    F.bit_xor(_h48(F.col("doc_id"))).alias("doc_xor"),
+                    F.sum(_h48(F.col("doc_id")) % DOC_SUM_MOD).alias("doc_sum"),
+                )
+                .collect()
+            )
+            return spark.createDataFrame(
+                [
+                    (
+                        r["source"], int(r["n_rows"]), int(r["n_tokens"]),
+                        int(r["token_sum"]), int(r["langs"]),
+                        int(r["doc_xor"]), int(r["doc_sum"]),
+                    )
+                    for r in rows
+                ],
+                EVO_SCHEMA,
+            )
+
+        out = agg(decode_table(spark, wh, snapshot=snap))
+        rows = sorted(map(tuple, out.collect()))
+        register(spark)
+        fmt = (
+            spark.read.format("tokstripe")
+            .option("path", wh).option("snapshot", snap).load()
+        )
+        if sorted(map(tuple, agg(fmt).collect())) != rows:
+            raise AssertionError("tokstripe read of evolved snapshot differs")
+        pre = decode_table(spark, wh, snapshot=snapshot_as_of(wh, ordinal=0))
+        if "tokens" not in pre.columns:
+            raise AssertionError("time travel lost the pre-evolution schema")
+        return out
+
+    return _with_encoded(spark, sf_dir, "evo", consume, salt_buckets, stripe_tokens)
+
+
 def dsv2_scan_summary(
     spark: SparkSession,
     sf_dir: str,

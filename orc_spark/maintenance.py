@@ -207,6 +207,20 @@ def compact_snapshots(
                 "use maintenance.materialize_deletes (or mode='reencode') "
                 "to rewrite it first"
             )
+        if m["schema"] != schema or (m.get("column_mapping") or {}) != (
+            manifests[0].get("column_mapping") or {}
+        ):
+            raise ValueError(
+                f"snapshot {s!r} has a different schema/evolution state "
+                "than the first source: concat copies blobs verbatim — "
+                "use mode='reencode' to unify schemas"
+            )
+    # blobs keep their stored stream names, so the dest must inherit the
+    # sources' evolution mapping (evolution.py); reencode writes fresh
+    # streams under current names and clears it
+    if manifests[0].get("column_mapping"):
+        extra["column_mapping"] = manifests[0]["column_mapping"]
+        extra["retired_names"] = manifests[0].get("retired_names") or []
 
     # pid -> ordered source files + parsed key ranges (driver-side metadata
     # only: O(#pids), the same scale class as an Iceberg manifest rewrite)

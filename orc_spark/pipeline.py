@@ -769,9 +769,12 @@ def decode_table(
             ]
             keyset = ks[0] if len(ks) == 1 else pa.concat_arrays(ks)
 
+        colmap = (manifest or {}).get("column_mapping")
+
         def decode_partition(batches):
             it = decode_blob_batches(
-                batches, preds, rcols, inner, acc_seen, acc_skip, acc_bloom
+                batches, preds, rcols, inner, acc_seen, acc_skip, acc_bloom,
+                colmap=colmap, coltypes=schema if colmap else None,
             )
             if keyset is None:
                 yield from it
@@ -858,6 +861,26 @@ def plan_scan_files(
     return files
 
 
+def _null_array(spark_type: str, n: int):
+    """All-null arrow array of the arrow type matching a manifest spark
+    type — the read shape of a schema-evolution ADDed column in files
+    written before the add (evolution.py)."""
+    import pyarrow as pa
+
+    prim = {
+        "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
+        "bigint": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+        "string": pa.string(), "boolean": pa.bool_(),
+        "timestamp": pa.timestamp("us"),
+    }
+    if spark_type in prim:
+        return pa.nulls(n, prim[spark_type])
+    m = re.match(r"array<(\w+)>", spark_type)
+    if m and m.group(1) in prim:
+        return pa.nulls(n, pa.list_(prim[m.group(1)]))
+    raise TypeError(f"cannot null-fill added column of type {spark_type!r}")
+
+
 def decode_blob_batches(
     batches,
     preds: list[tuple],
@@ -866,12 +889,24 @@ def decode_blob_batches(
     acc_seen=None,
     acc_skip=None,
     acc_bloom=None,
+    colmap: dict[str, list[str]] | None = None,
+    coltypes: dict[str, str] | None = None,
 ):
     """Decode a stream of (blob, footer) Arrow batches into RecordBatches of
     `names` columns, applying the executor-side half of predicate pushdown:
     stripe-stats skip, stripe-bloom skip (both BEFORE any stream of the blob
     is decompressed), then the exact arrow row filter. Shared by
-    decode_table's mapInArrow task and the tokstripe data source's read()."""
+    decode_table's mapInArrow task and the tokstripe data source's read().
+
+    `colmap` (evolution.py `column_mapping`: current name -> prior stored
+    names, newest first) resolves schema evolution PER STRIPE: stripe
+    footers key streams by the name current at write time, so a renamed
+    column reads under whichever name this stripe stored, and an added
+    column null-fills (type from `coltypes`, the manifest schema) in
+    stripes that predate it. Predicates translate the same way for the
+    stats/bloom skips; a stripe that lacks the column entirely cannot be
+    excluded by stats and falls through to the exact row filter, where the
+    null fill matches nothing."""
     for batch in batches:
         blobs = batch.column("blob")
         footers = batch.column("footer")
@@ -879,17 +914,35 @@ def decode_blob_batches(
             footer = footer_from_json(str(footers[i]))
             if acc_seen is not None:
                 acc_seen.add(1)
-            if preds and not all(
-                stripe_matches_pred(footer, p) for p in preds
+            fcols = footer["columns"]
+
+            def _stored(c):
+                if c in fcols or colmap is None:
+                    return c if c in fcols else None
+                return next(
+                    (a for a in colmap.get(c, ()) if a in fcols), None
+                )
+
+            spreds = preds
+            if colmap is not None and preds:
+                spreds = []
+                for p in preds:
+                    s = _stored(p[1])
+                    if s is not None:
+                        spreds.append((p[0], s) + tuple(p[2:]))
+                    # else: this stripe has no data for the column — stats
+                    # cannot exclude it; the row filter decides
+            if spreds and not all(
+                stripe_matches_pred(footer, p) for p in spreds
             ):
                 if acc_skip is not None:
                     acc_skip.add(1)
                 continue
             # STRIPE-level bloom: range stats passed, but an IN-set may
             # still miss every key in this stripe
-            if preds and not all(
+            if spreds and not all(
                 stripe_bloom_matches(footer, p)
-                for p in preds
+                for p in spreds
                 if p[0] == "in"
             ):
                 if acc_skip is not None:
@@ -897,7 +950,30 @@ def decode_blob_batches(
                 if acc_bloom is not None:
                     acc_bloom.add(1)
                 continue
-            rb = decode_stripe(blobs[i].as_buffer(), footer, columns=read_cols)
+            if colmap is None:
+                rb = decode_stripe(blobs[i].as_buffer(), footer, columns=read_cols)
+            else:
+                import pyarrow as pa
+
+                stored = [(c, _stored(c)) for c in read_cols]
+                present = [(c, s) for c, s in stored if s is not None]
+                arrays, outn = [], []
+                if present:
+                    dec = decode_stripe(
+                        blobs[i].as_buffer(), footer,
+                        columns=[s for _, s in present],
+                    )
+                    for j, (c, _) in enumerate(present):
+                        arrays.append(dec.column(j))
+                        outn.append(c)
+                n_rows = footer["n_rows"]
+                for c, s in stored:
+                    if s is None:
+                        arrays.append(_null_array((coltypes or {})[c], n_rows))
+                        outn.append(c)
+                rb = pa.RecordBatch.from_arrays(arrays, names=outn)
+                if outn != read_cols:
+                    rb = rb.select(read_cols)
             if preds:
                 rb = rb.filter(_row_mask(rb, preds))
                 if rb.num_rows == 0:
