@@ -95,7 +95,8 @@ def changes_between(
     from . import deletes as _deletes
 
     wh = Warehouse(warehouse_path)
-    to_snapshot = to_snapshot or wh.current_snapshot_id()
+    to_snapshot = wh.resolve_snapshot(to_snapshot)
+    from_snapshot = wh.resolve_snapshot(from_snapshot)
     log = wh.commit_log()
     try:
         i_from, i_to = log.index(from_snapshot), log.index(to_snapshot)

@@ -55,7 +55,13 @@ encode: each task stages files under a per-invocation unique snapshot name,
 and `commit(messages, batchId)` publishes them as snapshot
 `<snapshot>-e<batchId>`; a replayed epoch (driver restart) detects the
 already-committed batch manifest and DELETES its re-staged files instead of
-committing twice.
+committing twice. `readStream` tails committed snapshots as micro-batches
+(append semantics); with `.option("mode", "cdc")` it becomes a CHANGELOG
+stream instead: each commit's inserts decode from just the files it added
+and its delete pre-images decode from the parent snapshot via pruned
+IN-set point lookups, emitted with `_change_type` / `_commit_snapshot` /
+`_commit_ordinal` — the streaming twin of `cdc.changes_between`, same
+offsets, exactly-once across restarts.
 
 KNOWN UPSTREAM SHARP EDGE (Spark 4.1, `spark.sql.python.filterPushdown
 .enabled`): use ONE action per `load()` when mixing filtered and
@@ -174,15 +180,23 @@ class TokstripeDataSource(DataSource):
         from .pipeline import _spark_type_str
 
         wh = self._warehouse()
-        snapshot = self.options.get("snapshot") or wh.current_snapshot_id()
+        snapshot = wh.resolve_snapshot(self.options.get("snapshot"))
         manifest = wh.read_manifest(snapshot) if snapshot else None
         if not manifest:
             raise ValueError(
                 f"no committed snapshot {snapshot!r} under {wh.path!r}"
             )
-        return ", ".join(
+        cols = ", ".join(
             f"{n} {_spark_type_str(t)}" for n, t in manifest["schema"].items()
         )
+        if self.options.get("mode") == "cdc":
+            # changelog stream (readStream + mode=cdc): table columns plus
+            # change attribution, same shape as cdc.changes_between
+            cols += (
+                ", _change_type string, _commit_snapshot string, "
+                "_commit_ordinal int"
+            )
+        return cols
 
     def reader(self, schema: StructType) -> "TokstripeReader":
         return TokstripeReader(self.options, schema)
@@ -198,9 +212,20 @@ class TokstripeDataSource(DataSource):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, dels: tuple = ()):
+    def __init__(self, path: str, dels: tuple = (), change: str = "",
+                 snap: str = "", ordinal: int = -1, keys: tuple = (),
+                 kcol: str = "", colmap: dict | None = None):
         self.path = path
         self.dels = dels  # delete files applicable to THIS file (seq-scoped)
+        # CDC-stream extras (mode="cdc"): change type + commit attribution,
+        # pre-image key IN-set (delete partitions), and the source commit's
+        # evolution mapping for name resolution
+        self.change = change
+        self.snap = snap
+        self.ordinal = ordinal
+        self.keys = keys
+        self.kcol = kcol
+        self.colmap = colmap
 
 
 class _TokstripeReaderBase(DataSourceReader):
@@ -213,8 +238,13 @@ class _TokstripeReaderBase(DataSourceReader):
         from .pipeline import _spark_type_str
         from .warehouse import Warehouse
 
+        if options.get("mode") == "cdc":
+            raise ValueError(
+                "mode='cdc' is a STREAM read (spark.readStream); the batch "
+                "changelog is cdc.changes_between(spark, path, from, to)"
+            )
         wh = Warehouse(options.get("path"))
-        self._snapshot = options.get("snapshot") or wh.current_snapshot_id()
+        self._snapshot = wh.resolve_snapshot(options.get("snapshot"))
         manifest = wh.read_manifest(self._snapshot) if self._snapshot else None
         if not manifest or not manifest.get("partitions"):
             raise ValueError(
@@ -489,12 +519,18 @@ class TokstripeStreamReader(DataSourceStreamReader):
     stream writer's '<name>-e' epochs) out of a shared warehouse — the
     prefix filter applies at planning, positions are warehouse-global."""
 
+    CDC_COLS = ("_change_type", "_commit_snapshot", "_commit_ordinal")
+
     def __init__(self, options, schema: StructType):
         self._wh_path = options.get("path")
         if not self._wh_path:
             raise ValueError("tokstripe requires .option('path', <warehouse dir>)")
         self._prefix = options.get("snapshot_prefix", "")
+        self._cdc = options.get("mode") == "cdc"
         self._names = [f.name for f in schema.fields]
+        self._types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if self._cdc:
+            self._names = [n for n in self._names if n not in self.CDC_COLS]
 
     def _wh(self):
         from .warehouse import Warehouse
@@ -536,7 +572,10 @@ class TokstripeStreamReader(DataSourceStreamReader):
         # through the upsert dest); an 'upsert' delivers only its NEW
         # files (partition seq == the upsert's seq). Retractions are out
         # of scope for an append stream, as in Iceberg.
-        files = []
+        if self._cdc:
+            parts = self._cdc_partitions(wh, log, new)
+            return parts or [_FilePartition("")]
+        out = []
         for s in new:
             m = wh.read_manifest(s)
             if m is None:  # expired, or a removed stage manifest
@@ -547,10 +586,102 @@ class TokstripeStreamReader(DataSourceStreamReader):
             parts = m.get("partitions", {}).values()
             if op == "upsert":
                 seq = m.get("seq")
-                files += [p["file"] for p in parts if p.get("seq", 0) == seq]
+                files = [p["file"] for p in parts if p.get("seq", 0) == seq]
             else:
-                files += [p["file"] for p in parts]
-        return [_FilePartition(f) for f in files] or [_FilePartition("")]
+                files = [p["file"] for p in parts]
+            # evolution-aware: this commit's alias mapping resolves its
+            # files' stored stream names against the bound read schema
+            cm = m.get("column_mapping")
+            out += [_FilePartition(f, colmap=cm) for f in files]
+        return out or [_FilePartition("")]
+
+    def _cdc_partitions(self, wh, log, new):
+        """Changelog planning (mode='cdc'), mirroring cdc.changes_between:
+        per commit, inserts = the files it added (decoded directly), delete
+        pre-images = its new delete keys read from the PARENT snapshot via
+        the pruned IN-set scan, honoring the parent's own deletes. Pre-image
+        keys ride in the partition (driver-planned); a delete commit whose
+        key set exceeds deletes.INLINE_DELETE_MAX fails loudly — consume a
+        table-rewrite-sized delete as a new base, not a change stream."""
+        from . import deletes as _deletes
+        from .pipeline import plan_scan_files
+
+        out = []
+        for s in new:
+            m = wh.read_manifest(s)
+            if m is None:
+                if s.endswith("-stage"):
+                    continue
+                raise ValueError(
+                    f"snapshot {s!r} in the CDC stream range is expired — "
+                    "its row pre-images are gone"
+                )
+            op = m.get("operation") or "append"
+            if op in ("stage", "evolve") or m.get("compacted_from") \
+                    or m.get("materialized_from"):
+                continue
+            ordinal = log.index(s)
+            kcol = (m.get("layout") or {}).get("key_col", "doc_id")
+            colmap = m.get("column_mapping")
+            parent_name = m.get("delete_parent") or m.get("upsert_parent")
+            if op in ("delete", "upsert"):
+                pm = wh.read_manifest(parent_name) if parent_name else None
+                if pm is None:
+                    raise ValueError(
+                        f"parent {parent_name!r} of {s!r} is expired — "
+                        "CDC pre-images are gone"
+                    )
+                pdels = set(_deletes.delete_files_of(pm))
+                new_dels = [
+                    p for p in _deletes.delete_files_of(m) if p not in pdels
+                ]
+                if new_dels:
+                    n_keys = _deletes.count_delete_keys(new_dels)
+                    if n_keys > _deletes.INLINE_DELETE_MAX:
+                        raise ValueError(
+                            f"delete commit {s!r} removes {n_keys} keys — "
+                            "above the CDC stream's in-partition bound; "
+                            "re-baseline the consumer or use batch "
+                            "cdc.changes_between"
+                        )
+                    keys = tuple(
+                        _deletes.load_delete_keys(new_dels, kcol).to_pylist()
+                    )
+                    if keys:
+                        pentries = _deletes.normalize_delete_entries(
+                            pm.get("delete_files") or []
+                        )
+                        hit_files = set(plan_scan_files(
+                            pm, [("in", kcol, list(keys))]
+                        ))
+                        for p in pm["partitions"].values():
+                            f = p["file"]
+                            if f not in hit_files:
+                                continue
+                            fseq = p.get("seq", 0)
+                            appl = tuple(sorted(
+                                d for d, ds in pentries
+                                if ds is None or ds > fseq
+                            ))
+                            out.append(_FilePartition(
+                                f, dels=appl, change="delete", snap=s,
+                                ordinal=ordinal, keys=keys, kcol=kcol,
+                                colmap=pm.get("column_mapping"),
+                            ))
+            parts = m.get("partitions", {}).values()
+            if op == "upsert":
+                seq = m.get("seq")
+                ins = [p["file"] for p in parts if p.get("seq", 0) == seq]
+            elif op == "delete":
+                ins = []
+            else:
+                ins = [p["file"] for p in parts]
+            out += [
+                _FilePartition(f, change="insert", snap=s, ordinal=ordinal,
+                               colmap=colmap)
+                for f in ins
+            ]
+        return out
 
     def read(self, partition: _FilePartition):
         if not partition.path:
@@ -559,9 +690,57 @@ class TokstripeStreamReader(DataSourceStreamReader):
 
         from .pipeline import decode_blob_batches
 
+        names = self._names
+        kcol = partition.kcol
+        preds = [("in", kcol, list(partition.keys))] if partition.keys else []
+        appl = getattr(partition, "dels", ())
+        need_key = bool(appl) and kcol and kcol not in names
+        inner = names + [kcol] if need_key else names
+        read_cols = inner + [p[1] for p in preds if p[1] not in inner]
+        del_keys = None
+        if appl:
+            import pyarrow as pa
+
+            from . import deletes as _deletes
+
+            ks = [
+                k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+                for k in (_deletes.load_delete_keys([p], kcol or "doc_id")
+                          for p in appl)
+            ]
+            del_keys = ks[0] if len(ks) == 1 else pa.concat_arrays(ks)
+        colmap = getattr(partition, "colmap", None)
         pf = pq.ParquetFile(partition.path)
         for b in pf.iter_batches(columns=["blob", "footer"]):
-            yield from decode_blob_batches([b], [], self._names, self._names)
+            for rb in decode_blob_batches(
+                [b], preds, read_cols, inner,
+                colmap=colmap, coltypes=self._types if colmap else None,
+            ):
+                if del_keys is not None:
+                    import pyarrow.compute as pc
+
+                    hit = pc.fill_null(
+                        pc.is_in(rb.column(inner.index(kcol)),
+                                 value_set=del_keys),
+                        False,
+                    )
+                    rb = rb.filter(pc.invert(hit))
+                    if need_key:
+                        rb = rb.select(names)
+                if self._cdc:
+                    import pyarrow as pa
+
+                    n = rb.num_rows
+                    rb = pa.RecordBatch.from_arrays(
+                        list(rb.columns)
+                        + [
+                            pa.array([partition.change] * n, pa.string()),
+                            pa.array([partition.snap] * n, pa.string()),
+                            pa.array([partition.ordinal] * n, pa.int32()),
+                        ],
+                        names=names + list(self.CDC_COLS),
+                    )
+                yield rb
 
     def commit(self, end: dict) -> None:
         pass  # snapshots are durable; nothing to release

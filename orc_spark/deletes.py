@@ -169,7 +169,7 @@ def delete_where(
     A predicate matching nothing still commits `dest` (Iceberg also
     snapshots no-op deletes) with no new delete file."""
     wh = Warehouse(warehouse_path)
-    snapshot = snapshot or wh.current_snapshot_id()
+    snapshot = wh.resolve_snapshot(snapshot)
     manifest = wh.read_manifest(snapshot)
     if not manifest:
         raise ValueError(f"no manifest for snapshot {snapshot!r}")
@@ -265,7 +265,7 @@ def upsert(
     from .pipeline import DEFAULT_STRIPE_TOKENS, encode_table
 
     wh = Warehouse(warehouse_path)
-    snapshot = snapshot or wh.current_snapshot_id()
+    snapshot = wh.resolve_snapshot(snapshot)
     manifest = wh.read_manifest(snapshot)
     if not manifest:
         raise ValueError(f"no manifest for snapshot {snapshot!r}")

@@ -67,7 +67,7 @@ def evolve_schema(
     drop = list(drop or [])
     rename = rename or {}
     wh = Warehouse(warehouse_path)
-    snapshot = snapshot or wh.current_snapshot_id()
+    snapshot = wh.resolve_snapshot(snapshot)
     m = wh.read_manifest(snapshot)
     if not m:
         raise ValueError(f"no manifest for snapshot {snapshot!r}")

@@ -304,7 +304,7 @@ def materialize_deletes(
     decode+encode of the LIVE rows — pay it when the delete ratio or the
     per-read merge cost warrants, same calculus as Iceberg."""
     wh = Warehouse(warehouse_path)
-    snapshot = snapshot or wh.current_snapshot_id()
+    snapshot = wh.resolve_snapshot(snapshot)
     m = wh.read_manifest(snapshot)
     if not m:
         raise ValueError(f"no manifest for snapshot {snapshot!r}")
@@ -358,9 +358,17 @@ def expire_snapshots(
     wh = Warehouse(warehouse_path)
     cur = wh.current_snapshot_id()
     expiring = set(expire)
+    refd = {
+        r["snapshot"]: name for name, r in wh.refs().items()
+    }
     for s in expire:
         if keep_current and s == cur:
             raise ValueError(f"refusing to expire CURRENT snapshot {s!r}")
+        if s in refd:
+            raise ValueError(
+                f"snapshot {s!r} is pinned by ref {refd[s]!r} — tags/"
+                "branches protect retention (delete_ref first)"
+            )
     doomed = [wh.read_manifest(s) for s in expire]
     # drop manifests first so the survivors' reference set is final
     n = 0

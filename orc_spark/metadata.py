@@ -97,6 +97,7 @@ def files_table(
         if snapshot is None:
             raise ValueError(f"no committed snapshot in {warehouse_path}")
     snaps = [snapshot] if isinstance(snapshot, str) else list(snapshot)
+    snaps = [wh.resolve_snapshot(s) for s in snaps]
     rows = []
     for snap in snaps:
         m = wh.read_manifest(snap)

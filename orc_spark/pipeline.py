@@ -668,7 +668,7 @@ def decode_table(
     broadcasts or sort-merges by size). Both are exact; the `delete_scan`
     gate runs each against the other and the SQL oracle."""
     wh = Warehouse(warehouse_path)
-    snapshot = snapshot or wh.current_snapshot_id()
+    snapshot = wh.resolve_snapshot(snapshot)
     manifest = wh.read_manifest(snapshot)
     files = wh.committed_files(snapshot)
     if not files:
@@ -1002,7 +1002,7 @@ def export_orc(
     driver. A user of the reference ORC stack can consume the warehouse
     with any ORC reader after this — no engine code needed."""
     wh = Warehouse(warehouse_path)
-    snapshot = snapshot or wh.current_snapshot_id()
+    snapshot = wh.resolve_snapshot(snapshot)
     files = wh.committed_files(snapshot)
     if not files:
         raise ValueError(f"no committed files for snapshot {snapshot}")

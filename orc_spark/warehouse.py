@@ -218,6 +218,75 @@ class Warehouse:
             return []
         return [p["file"] for p in m["partitions"].values()]
 
+    # -- named refs (Iceberg tags/branches) -------------------------------
+    def refs_dir(self) -> str:
+        return os.path.join(self.manifest_dir, "refs")
+
+    def set_ref(self, name: str, snapshot: str, kind: str = "tag") -> dict:
+        """Create or move a named ref — the Iceberg tag/branch analog. A
+        ref is one tiny JSON file (atomic tmp+rename, same discipline as
+        CURRENT): {'snapshot', 'kind', 'updated_at'}. `kind='tag'` is an
+        immutable bookmark (set_ref on an existing tag refuses — delete it
+        first); `kind='branch'` is a movable head (set_ref advances it).
+        Both PROTECT their snapshot from expire_snapshots, which is the
+        operational point of tagging (Iceberg retention semantics).
+        Resolution: decode_table / tokstripe / metadata accept a ref name
+        anywhere a snapshot name goes (resolve_snapshot)."""
+        if kind not in ("tag", "branch"):
+            raise ValueError(f"ref kind must be tag|branch, got {kind!r}")
+        if "/" in name or name.startswith("snap-") or not name:
+            raise ValueError(f"bad ref name {name!r}")
+        if self.read_manifest(snapshot) is None:
+            raise ValueError(f"cannot ref {snapshot!r}: no manifest")
+        existing = self.get_ref(name)
+        if existing and existing["kind"] == "tag":
+            raise ValueError(
+                f"tag {name!r} already points at {existing['snapshot']!r} "
+                "— tags are immutable, delete_ref first"
+            )
+        if existing and existing["kind"] != kind:
+            raise ValueError(f"ref {name!r} exists with kind {existing['kind']!r}")
+        os.makedirs(self.refs_dir(), exist_ok=True)
+        ref = {"snapshot": snapshot, "kind": kind, "updated_at": time.time()}
+        fd, tmp = tempfile.mkstemp(dir=self.refs_dir(), suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(ref, fh)
+        os.replace(tmp, os.path.join(self.refs_dir(), name + ".json"))
+        return ref
+
+    def get_ref(self, name: str) -> dict | None:
+        f = os.path.join(self.refs_dir(), name + ".json")
+        if not os.path.exists(f):
+            return None
+        return json.load(open(f))
+
+    def refs(self) -> dict[str, dict]:
+        d = self.refs_dir()
+        if not os.path.isdir(d):
+            return {}
+        return {
+            f[:-len(".json")]: json.load(open(os.path.join(d, f)))
+            for f in sorted(os.listdir(d))
+            if f.endswith(".json")
+        }
+
+    def delete_ref(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self.refs_dir(), name + ".json"))
+        except OSError:
+            raise ValueError(f"no ref {name!r}") from None
+
+    def resolve_snapshot(self, name: str | None) -> str | None:
+        """A snapshot name, a ref name, or None (CURRENT) -> snapshot id.
+        Committed snapshot names win over a same-named ref (refs cannot
+        shadow data)."""
+        if name is None:
+            return self.current_snapshot_id()
+        if self.read_manifest(name) is not None:
+            return name
+        ref = self.get_ref(name)
+        return ref["snapshot"] if ref else name
+
     def rollback(self, snapshot: str) -> None:
         """Move CURRENT back to an earlier committed snapshot (Iceberg
         `rollback_to_snapshot`): pure pointer move, atomic tmp+rename, no

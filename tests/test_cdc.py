@@ -124,6 +124,58 @@ def test_changelog_emits_to_snapshot_schema(spark, wh, tmp_path):
     assert dl[0]["lang"] is None           # added later: null pre-image
 
 
+def test_streaming_cdc_source(spark, wh, tmp_path):
+    from orc_spark.datasource import register
+
+    register(spark)
+    d1 = deletes.delete_where(spark, wh, ("n_tok", 5, 8))["snapshot_id"]
+    upd = (
+        decode_table(spark, wh, snapshot=d1)
+        .where("doc_id >= 'd00100' AND doc_id < 'd00105'")
+        .withColumn("tokens", F.expr("transform(tokens, x -> CAST(x+1 AS INT))"))
+    )
+    u1 = deletes.upsert(spark, wh, upd, snapshot=d1)["snapshot_id"]
+    out = str(tmp_path / "cdc_sink")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("tokstripe")
+            .option("path", wh).option("mode", "cdc").load()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    got = spark.read.parquet(out)
+    n_del1 = _df(spark).where("n_tok BETWEEN 5 AND 8").count()
+    n_upd = upd.count()
+    assert n_upd > 0
+    # replays the whole log: base inserts + delete pre-images + upsert pair
+    assert got.where("_change_type = 'insert'").count() == 300 + n_upd
+    assert got.where("_change_type = 'delete'").count() == n_del1 + n_upd
+    # the stream's post-base changes equal the batch changelog exactly
+    batch = changes_between(spark, wh, "c0", u1)
+    stream_tail = got.where("_commit_snapshot <> 'c0'").select(*batch.columns)
+    assert stream_tail.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream_tail).count() == 0
+    # incremental restart from the checkpoint: only NEW commits emit
+    d2 = deletes.delete_where(spark, wh, ("doc_id", ["d00200"]), snapshot=u1)
+    run_batch()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == got.count() + 1
+    new_row = got2.where("_commit_snapshot = '%s'" % d2["snapshot_id"]).collect()
+    assert len(new_row) == 1 and new_row[0]["_change_type"] == "delete"
+    assert new_row[0]["doc_id"] == "d00200"
+    # batch reader refuses cdc mode with a pointer to the right APIs
+    with pytest.raises(Exception, match="cdc"):
+        spark.read.format("tokstripe").option("path", wh).option(
+            "mode", "cdc"
+        ).load().count()
+
+
 def test_changelog_errors(spark, wh):
     d1 = deletes.delete_where(spark, wh, ("n_tok", 5, 8))["snapshot_id"]
     with pytest.raises(ValueError, match="newer than"):

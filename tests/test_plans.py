@@ -188,3 +188,64 @@ def test_whole_stage_codegen_covers_textops(spark):
     assert "*(" in plan  # '*(n)' marks WholeStageCodegen spans
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
     assert "ArrowEvalPython" not in plan  # no pandas UDFs in the JVM ops
+
+
+def test_delete_read_plans(spark, tmp_path):
+    """merge-on-read delete scan shapes: the inline path must stay a pure
+    mapInArrow scan (NO join, NO shuffle — the delete keys ride in the task
+    closure), and the forced anti-join path must plan a BROADCAST anti-join
+    (the delete side is small), never a cartesian. A regression here turns
+    every delete-table scan into a 100-TB shuffle."""
+    from orc_spark import deletes
+    from orc_spark.pipeline import decode_table, encode_table
+
+    wh = str(tmp_path / "wh_plan")
+    df = (
+        spark.range(300)
+        .select(
+            F.format_string("d%05d", F.col("id")).alias("doc_id"),
+            F.array(F.lit(1).cast("int"), (F.col("id") % 7).cast("int")).alias("tokens"),
+            F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )
+    encode_table(spark, df, wh, snapshot="p0", salt_buckets=2, stripe_tokens=200)
+    snap = deletes.delete_where(spark, wh, ("n_tok", 2, 2))["snapshot_id"]
+
+    inline = decode_table(spark, wh, snapshot=snap)
+    plan = _plan(inline)
+    assert "Join" not in plan
+    assert "Exchange" not in plan  # zero-shuffle scan
+
+    anti = decode_table(spark, wh, snapshot=snap, delete_inline_max=0)
+    plan = _plan(anti)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # small delete side must broadcast
+
+
+def test_upsert_read_plan_unions_without_shuffle(spark, tmp_path):
+    """a seq-grouped upsert read is a UNION of per-group mapInArrow scans —
+    still no join and no shuffle on the inline path."""
+    from orc_spark import deletes
+    from orc_spark.pipeline import decode_table, encode_table
+
+    wh = str(tmp_path / "wh_plan_u")
+    df = (
+        spark.range(200)
+        .select(
+            F.format_string("d%05d", F.col("id")).alias("doc_id"),
+            F.array(F.lit(1).cast("int")).alias("tokens"),
+            F.lit("s0").alias("source"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )
+    encode_table(spark, df, wh, snapshot="p0", salt_buckets=2, stripe_tokens=200)
+    upd = decode_table(spark, wh).limit(5).withColumn(
+        "tokens", F.array(F.lit(9).cast("int"))
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+    snap = deletes.upsert(spark, wh, upd, salt_buckets=2)["snapshot_id"]
+    plan = _plan(decode_table(spark, wh, snapshot=snap))
+    assert "Union" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
