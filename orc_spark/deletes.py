@@ -225,6 +225,34 @@ def delete_where(
     return out
 
 
+def update_where(
+    spark: SparkSession,
+    warehouse_path: str,
+    predicate,
+    set_exprs: dict,
+    snapshot: str | None = None,
+    dest: str | None = None,
+) -> dict:
+    """UPDATE … SET … WHERE sugar over `upsert`: decode the matching rows
+    (the predicate pushes down all three prune levels), apply `set_exprs`
+    ({column: SQL expression string or Column}), and commit the result as
+    a merge-on-read upsert — matching rows get new versions, nothing else
+    is touched, no data file rewritten. Expressions must preserve column
+    types (upsert enforces the schema). Returns the upsert manifest
+    (`n_upserted` = rows updated)."""
+    from .pipeline import decode_table
+
+    wh = Warehouse(warehouse_path)
+    snapshot = wh.resolve_snapshot(snapshot)
+    df = decode_table(spark, warehouse_path, snapshot=snapshot,
+                      predicate=predicate)
+    for c, e in set_exprs.items():
+        if c not in df.columns:
+            raise ValueError(f"SET column {c!r} not in schema {df.columns}")
+        df = df.withColumn(c, F.expr(e) if isinstance(e, str) else e)
+    return upsert(spark, warehouse_path, df, snapshot=snapshot, dest=dest)
+
+
 def _root(snapshot: str) -> str:
     """Strip the delete/upsert suffix chain so default names stay
     `<root>-d<n>` / `<root>-u<n>` instead of growing without bound."""

@@ -121,6 +121,27 @@ def files_table(
     return spark.createDataFrame(rows, FILES_SCHEMA)
 
 
+REFS_SCHEMA = (
+    "name string, kind string, snapshot_id string, ordinal int, "
+    "updated_at double"
+)
+
+
+def refs_table(spark: SparkSession, warehouse_path: str) -> DataFrame:
+    """One row per named ref (Iceberg `refs`): name, tag|branch, target
+    snapshot, its commit-log ordinal (NULL if the log somehow lacks it),
+    and the ref's last update time. Pure driver-side metadata."""
+    wh = Warehouse(warehouse_path)
+    log = wh.commit_log()
+    pos = {s: i for i, s in enumerate(log)}
+    rows = [
+        (name, r["kind"], r["snapshot"], pos.get(r["snapshot"]),
+         float(r.get("updated_at") or 0.0))
+        for name, r in wh.refs().items()
+    ]
+    return spark.createDataFrame(rows, REFS_SCHEMA)
+
+
 def snapshot_as_of(
     warehouse_path: str,
     ordinal: int | None = None,

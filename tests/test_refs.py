@@ -93,3 +93,33 @@ def test_committed_snapshot_wins_over_ref(spark, wh):
     w.set_ref("v1x", d, kind="tag")
     assert w.resolve_snapshot("v1") == "v1"
     assert w.resolve_snapshot("v1x") == d
+
+
+def test_update_where_and_refs_table(spark, wh):
+    from orc_spark.metadata import refs_table
+
+    w = Warehouse(wh)
+    res = deletes.update_where(
+        spark, wh, ("n_tok", 2, 2),
+        {"tokens": "transform(tokens, x -> CAST(x + 100 AS INT))"},
+    )
+    got = decode_table(spark, wh, snapshot=res["snapshot_id"])
+    n_match = _df(spark).where("n_tok = 2").count()
+    assert res["n_upserted"] == n_match > 0
+    assert got.count() == 120  # update, not delete
+    assert got.where("n_tok = 2").count() == n_match
+    row = got.where("n_tok = 2").limit(1).collect()[0]
+    assert all(t >= 100 for t in row["tokens"])
+    # untouched rows keep original payloads
+    assert got.where("n_tok != 2").where(
+        F.exists("tokens", lambda t: t >= 100)
+    ).count() == 0
+    with pytest.raises(ValueError, match="SET column"):
+        deletes.update_where(spark, wh, ("n_tok", 2, 2), {"nope": "1"})
+    # refs_table reflects refs with their log ordinals
+    w.set_ref("prod", "v1", kind="tag")
+    w.set_ref("dev", res["snapshot_id"], kind="branch")
+    rt = {r["name"]: r for r in refs_table(spark, wh).collect()}
+    assert rt["prod"]["kind"] == "tag" and rt["prod"]["ordinal"] == 0
+    assert rt["dev"]["snapshot_id"] == res["snapshot_id"]
+    assert rt["dev"]["ordinal"] is not None
