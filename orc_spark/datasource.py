@@ -263,7 +263,7 @@ class _TokstripeReaderBase(DataSourceReader):
         }
         # schema evolution (evolution.py): current name -> prior stored
         # names; resolved per stripe in the shared decode kernel
-        self._colmap = manifest.get("column_mapping")
+        self._colmap = manifest.get("column_mapping") or None
         self._preds: list[tuple] = []       # exact: engine fully evaluates
         self._hint_preds: list[tuple] = []  # prune-only: Spark re-evaluates
         # merge-on-read deletes (deletes.py): entries are seq-scoped (an
@@ -591,7 +591,7 @@ class TokstripeStreamReader(DataSourceStreamReader):
                 files = [p["file"] for p in parts]
             # evolution-aware: this commit's alias mapping resolves its
             # files' stored stream names against the bound read schema
-            cm = m.get("column_mapping")
+            cm = m.get("column_mapping") or None
             out += [_FilePartition(f, colmap=cm) for f in files]
         return out or [_FilePartition("")]
 
@@ -622,7 +622,7 @@ class TokstripeStreamReader(DataSourceStreamReader):
                 continue
             ordinal = log.index(s)
             kcol = (m.get("layout") or {}).get("key_col", "doc_id")
-            colmap = m.get("column_mapping")
+            colmap = m.get("column_mapping") or None
             parent_name = m.get("delete_parent") or m.get("upsert_parent")
             if op in ("delete", "upsert"):
                 pm = wh.read_manifest(parent_name) if parent_name else None

@@ -121,7 +121,11 @@ def evolve_schema(
             new_retired.add(name)
         else:
             new_schema[name] = typ
-            if aliases:
+            # keep an EXISTING entry even when its alias list is empty: an
+            # added column's [] marks "no stored data anywhere — null-fill"
+            # and must survive later evolutions, or a reader of a mixed
+            # table loses the fill signal
+            if name in mapping or aliases:
                 new_mapping[name] = aliases
     for name, typ in add.items():
         new_schema[name] = typ

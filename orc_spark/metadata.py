@@ -29,8 +29,8 @@ from .warehouse import Warehouse
 
 SNAPSHOTS_SCHEMA = (
     "ordinal int, snapshot_id string, parent string, status string, "
-    "n_partitions long, n_stripes long, n_rows long, n_tokens long, "
-    "enc_bytes long, committed_at double"
+    "operation string, n_partitions long, n_stripes long, n_rows long, "
+    "n_tokens long, enc_bytes long, committed_at double"
 )
 
 FILES_SCHEMA = (
@@ -62,15 +62,23 @@ def snapshots_table(spark: SparkSession, warehouse_path: str) -> DataFrame:
         m = wh.read_manifest(snap)
         if m is None:
             rows.append((ordinal, snap, None, "expired",
-                         None, None, None, None, None, None))
+                         None, None, None, None, None, None, None))
             continue
         parts = m.get("partitions", {})
         status = "current" if snap == current else "committed"
+        # Iceberg's snapshots.operation analog: how this snapshot came to
+        # be — append (encode/stream/import), delete/upsert (deletes.py),
+        # evolve (evolution.py), replace (compaction/materialization)
+        if m.get("compacted_from") or m.get("materialized_from"):
+            op = "replace"
+        else:
+            op = m.get("operation") or "append"
         rows.append((
             ordinal,
             snap,
             m.get("parent"),
             status,
+            op,
             len(parts),
             sum(int(p.get("stripes") or 0) for p in parts.values()),
             sum(int(p.get("n_rows") or 0) for p in parts.values()),

@@ -769,7 +769,10 @@ def decode_table(
             ]
             keyset = ks[0] if len(ks) == 1 else pa.concat_arrays(ks)
 
-        colmap = (manifest or {}).get("column_mapping")
+        # {} normalizes to None: with the evolution invariant that every
+        # added/renamed column keeps a mapping entry, an empty mapping
+        # means "no evolution residue" — plain decode path
+        colmap = (manifest or {}).get("column_mapping") or None
 
         def decode_partition(batches):
             it = decode_blob_batches(

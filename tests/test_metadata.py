@@ -100,3 +100,37 @@ def test_expiry_flips_status_keeps_ordinals(spark, tmp_path):
 def test_files_table_no_current_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no committed snapshot"):
         files_table(spark, str(tmp_path / "empty_wh"))
+
+
+def test_snapshots_table_operation_column(spark, tmp_path):
+    from orc_spark import deletes
+    from orc_spark.evolution import evolve_schema
+    from orc_spark.maintenance import materialize_deletes
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh_ops")
+    df = (
+        spark.range(80)
+        .select(
+            F.format_string("d%04d", F.col("id")).alias("doc_id"),
+            F.array(F.lit(1).cast("int"), (F.col("id") % 5).cast("int")).alias("tokens"),
+            F.lit("s0").alias("source"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )
+    encode_table(spark, df, wh, snapshot="a", salt_buckets=2, stripe_tokens=64)
+    d = deletes.delete_where(spark, wh, ("n_tok", 2, 2))["snapshot_id"]
+    u = deletes.upsert(
+        spark, wh,
+        decode_table(spark, wh).limit(2), snapshot=d, salt_buckets=2,
+    )["snapshot_id"]
+    ev = evolve_schema(wh, snapshot=u, add={"x": "int"})["snapshot_id"]
+    mat = materialize_deletes(spark, wh, snapshot=ev)["snapshot_id"]
+    ops = {
+        r["snapshot_id"]: r["operation"]
+        for r in snapshots_table(spark, wh).collect()
+        if r["operation"] is not None
+    }
+    assert ops["a"] == "append"
+    assert ops[d] == "delete" and ops[u] == "upsert"
+    assert ops[ev] == "evolve" and ops[mat] == "replace"
