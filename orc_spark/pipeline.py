@@ -1006,6 +1006,24 @@ def export_orc(
     with any ORC reader after this — no engine code needed."""
     wh = Warehouse(warehouse_path)
     snapshot = wh.resolve_snapshot(snapshot)
+    m = wh.read_manifest(snapshot) or {}
+    # the exporter streams RAW stripe blobs, so snapshots whose correct
+    # read requires merge-on-read state would export WRONG files: deleted
+    # rows would resurrect, renamed columns would ship under per-file
+    # stale names. Fold the state flat first; the rewrite clears both.
+    if m.get("delete_files"):
+        raise ValueError(
+            f"snapshot {snapshot!r} carries merge-on-read delete files — "
+            "exporting raw stripes would resurrect deleted rows; run "
+            "maintenance.materialize_deletes first"
+        )
+    if m.get("column_mapping"):
+        raise ValueError(
+            f"snapshot {snapshot!r} has unmaterialized schema evolution — "
+            "raw stripes store per-file WRITE-TIME column names; rewrite "
+            "via compact_snapshots(mode='reencode') (or "
+            "materialize_deletes) so every stream carries current names"
+        )
     files = wh.committed_files(snapshot)
     if not files:
         raise ValueError(f"no committed files for snapshot {snapshot}")

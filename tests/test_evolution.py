@@ -149,3 +149,19 @@ def test_concat_guards_and_inherits_mapping(spark, wh, tmp_path):
     got = decode_table(spark, w2, snapshot="c1")
     assert got.select(F.sum("tok_count")).collect()[0][0] == \
         _df(spark).select(F.sum("n_tok")).collect()[0][0]
+
+
+def test_export_orc_refuses_unmaterialized_state(spark, wh, tmp_path):
+    from orc_spark.pipeline import export_orc
+
+    ev = evolve_schema(wh, rename={"n_tok": "tok_count"})["snapshot_id"]
+    with pytest.raises(ValueError, match="schema evolution"):
+        export_orc(spark, wh, str(tmp_path / "o1"), snapshot=ev)
+    d = deletes.delete_where(spark, wh, ("doc_id", ["d00001"]), snapshot="base")
+    with pytest.raises(ValueError, match="delete files"):
+        export_orc(spark, wh, str(tmp_path / "o2"), snapshot=d["snapshot_id"])
+    # a reencode rewrite clears both and exports fine
+    m = compact_snapshots(spark, wh, [ev], "flat", mode="reencode",
+                          salt_buckets=2)
+    out = export_orc(spark, wh, str(tmp_path / "o3"), snapshot="flat")
+    assert out.count() > 0
