@@ -151,12 +151,31 @@ def _write_delete_files(keys_df, warehouse_path: str, dest: str) -> list[str]:
     return new_files
 
 
+def _branch_base(wh: Warehouse, branch: str, snapshot: str | None) -> str:
+    """Base snapshot of a branch-scoped write: an explicit `snapshot` wins
+    (and creates the branch at commit if it does not exist yet); otherwise
+    the branch ref's current target."""
+    if snapshot is not None:
+        return wh.resolve_snapshot(snapshot)
+    ref = wh.get_ref(branch)
+    if ref is None:
+        raise ValueError(
+            f"branch {branch!r} does not exist - create it with "
+            "Warehouse.set_ref(name, snapshot, kind='branch') or pass "
+            "snapshot= to base the first branch write explicitly"
+        )
+    if ref["kind"] != "branch":
+        raise ValueError(f"ref {branch!r} is a tag - tags are immutable")
+    return ref["snapshot"]
+
+
 def delete_where(
     spark: SparkSession,
     warehouse_path: str,
     predicate,
     snapshot: str | None = None,
     dest: str | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Commit a merge-on-read delete: a new snapshot `dest` (default
     `<snapshot>-d<n>`) sharing `snapshot`'s data files, whose readers drop
@@ -167,9 +186,18 @@ def delete_where(
     `n_deleted` (distinct keys this call removed) added.
 
     A predicate matching nothing still commits `dest` (Iceberg also
-    snapshots no-op deletes) with no new delete file."""
+    snapshots no-op deletes) with no new delete file.
+
+    `branch=` makes this a BRANCH-SCOPED write (Iceberg branch commits):
+    the base defaults to the branch ref's target, CURRENT does not move,
+    and the branch ref advances to `dest` instead — main readers never see
+    the branch's deletes until someone fast-forwards (Warehouse.rollback
+    to the branch target is the publish step of write-audit-publish)."""
     wh = Warehouse(warehouse_path)
-    snapshot = wh.resolve_snapshot(snapshot)
+    if branch is not None:
+        snapshot = _branch_base(wh, branch, snapshot)
+    else:
+        snapshot = wh.resolve_snapshot(snapshot)
     manifest = wh.read_manifest(snapshot)
     if not manifest:
         raise ValueError(f"no manifest for snapshot {snapshot!r}")
@@ -220,7 +248,10 @@ def delete_where(
             "delete_parent": snapshot,
             **inherited_meta(manifest),
         },
+        advance_current=branch is None,
     )
+    if branch is not None:
+        wh.set_ref(branch, dest, kind="branch")
     out["n_deleted"] = n_deleted
     return out
 
@@ -232,6 +263,7 @@ def update_where(
     set_exprs: dict,
     snapshot: str | None = None,
     dest: str | None = None,
+    branch: str | None = None,
 ) -> dict:
     """UPDATE … SET … WHERE sugar over `upsert`: decode the matching rows
     (the predicate pushes down all three prune levels), apply `set_exprs`
@@ -243,14 +275,18 @@ def update_where(
     from .pipeline import decode_table
 
     wh = Warehouse(warehouse_path)
-    snapshot = wh.resolve_snapshot(snapshot)
+    if branch is not None:
+        snapshot = _branch_base(wh, branch, snapshot)
+    else:
+        snapshot = wh.resolve_snapshot(snapshot)
     df = decode_table(spark, warehouse_path, snapshot=snapshot,
                       predicate=predicate)
     for c, e in set_exprs.items():
         if c not in df.columns:
             raise ValueError(f"SET column {c!r} not in schema {df.columns}")
         df = df.withColumn(c, F.expr(e) if isinstance(e, str) else e)
-    return upsert(spark, warehouse_path, df, snapshot=snapshot, dest=dest)
+    return upsert(spark, warehouse_path, df, snapshot=snapshot, dest=dest,
+                  branch=branch)
 
 
 def _root(snapshot: str) -> str:
@@ -270,6 +306,7 @@ def upsert(
     salt_buckets: int = 32,
     stripe_tokens: int | None = None,
     key_blooms: bool = True,
+    branch: str | None = None,
 ) -> dict:
     """Merge-on-read UPSERT (Iceberg `MERGE INTO … WHEN MATCHED UPDATE
     WHEN NOT MATCHED INSERT`, keyed on the table's layout key): commit a
@@ -289,11 +326,15 @@ def upsert(
     removed after the atomic dest commit; the append stream reader skips
     'stage' operations, and delivers the upsert's NEW files exactly once
     via the dest snapshot). Returns the committed manifest plus
-    `n_upserted` (distinct keys written)."""
+    `n_upserted` (distinct keys written). `branch=` scopes the commit to a
+    branch ref (see delete_where): CURRENT stays put, the branch advances."""
     from .pipeline import DEFAULT_STRIPE_TOKENS, encode_table
 
     wh = Warehouse(warehouse_path)
-    snapshot = wh.resolve_snapshot(snapshot)
+    if branch is not None:
+        snapshot = _branch_base(wh, branch, snapshot)
+    else:
+        snapshot = wh.resolve_snapshot(snapshot)
     manifest = wh.read_manifest(snapshot)
     if not manifest:
         raise ValueError(f"no manifest for snapshot {snapshot!r}")
@@ -352,7 +393,10 @@ def upsert(
             "seq": seq,
             **inherited_meta(manifest),
         },
+        advance_current=branch is None,
     )
+    if branch is not None:
+        wh.set_ref(branch, dest, kind="branch")
     # drop the stage manifest: its files are reachable through dest now
     # (expire/vacuum reference-check against surviving manifests); the
     # commit-log line keeps its ordinal, readers skip missing manifests

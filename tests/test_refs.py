@@ -123,3 +123,37 @@ def test_update_where_and_refs_table(spark, wh):
     assert rt["prod"]["kind"] == "tag" and rt["prod"]["ordinal"] == 0
     assert rt["dev"]["snapshot_id"] == res["snapshot_id"]
     assert rt["dev"]["ordinal"] is not None
+
+
+def test_branch_scoped_writes(spark, wh):
+    """Iceberg branch-commit semantics: writes with branch= advance the
+    branch ref only; main (CURRENT) is untouched until a fast-forward
+    publish — the write-audit-publish flow."""
+    w = Warehouse(wh)
+    w.set_ref("dev", "v1", kind="branch")
+    d = deletes.delete_where(spark, wh, ("n_tok", 2, 2), branch="dev")
+    # CURRENT untouched, branch advanced, base came from the ref
+    assert w.current_snapshot_id() == "v1"
+    assert w.resolve_snapshot("dev") == d["snapshot_id"]
+    assert decode_table(spark, wh).count() == 120
+    n_dev = decode_table(spark, wh, snapshot="dev").count()
+    assert n_dev == 120 - d["n_deleted"] < 120
+    # chained branch write bases on the advanced ref automatically
+    u = deletes.update_where(
+        spark, wh, ("n_tok", 1, 1),
+        {"tokens": "transform(tokens, x -> CAST(x+50 AS INT))"},
+        branch="dev",
+    )
+    assert w.resolve_snapshot("dev") == u["snapshot_id"]
+    assert w.current_snapshot_id() == "v1"
+    # audit on the branch, then PUBLISH: fast-forward CURRENT
+    audited = decode_table(spark, wh, snapshot="dev")
+    assert audited.count() == n_dev
+    w.rollback(w.resolve_snapshot("dev"))
+    assert decode_table(spark, wh).count() == n_dev
+    # guard rails: unknown branch without a base; tag as branch
+    with pytest.raises(ValueError, match="does not exist"):
+        deletes.delete_where(spark, wh, ("n_tok", 3, 3), branch="nope")
+    w.set_ref("rel", "v1", kind="tag")
+    with pytest.raises(ValueError, match="tag"):
+        deletes.delete_where(spark, wh, ("n_tok", 3, 3), branch="rel")
