@@ -147,6 +147,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return upsert_scan_summary(spark, sf_dir)
 
+    def _wap_scan(spark, sf_dir):
+        _ship(spark)
+        # write-audit-publish via branch-scoped writes: the delete lands
+        # on a branch (main asserted untouched), is audited there, and
+        # publishes by fast-forward; oracle checks the published survivors
+        from orc_spark.flagship import wap_scan_summary
+
+        return wap_scan_summary(spark, sf_dir)
+
     def _cdc_scan(spark, sf_dir):
         _ship(spark)
         # changelog read: per-commit insert/delete rows from manifest
@@ -283,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_scan": _upsert_scan,
         "schema_evolution": _schema_evolution,
         "cdc_scan": _cdc_scan,
+        "wap_scan": _wap_scan,
         "pruned_scan_multi": _pruned_multi,
         # interchange sink: encode -> export as standalone ORC files -> read
         # back with SPARK'S OWN ORC READER (orc-core) -> aggregates; the
@@ -599,6 +609,23 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(bit_xor({_H48.format(x='doc_id')}) AS BIGINT) AS doc_xor,
                    CAST(sum({_H48.format(x='doc_id')} % 1000003) AS BIGINT) AS doc_sum
             FROM f GROUP BY source
+        """,
+        # write-audit-publish: survivors of the branch-committed delete
+        # after the fast-forward publish (main isolation asserted in-gate)
+        "wap_scan": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     {_H48.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     [{_H48.format(x='w')} % 50257 for w in string_split(text,' ')] AS toks
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                                        (a,b) -> a+b)) AS BIGINT) AS token_sum,
+                   CAST(bit_xor(h) AS BIGINT) AS doc_xor,
+                   CAST(sum(h % 1000003) AS BIGINT) AS doc_sum
+            FROM t WHERE len(toks) NOT BETWEEN 20 AND 40 GROUP BY source
         """,
         # changelog: the oracle recomputes the exact change stream — the
         # delete commit's pre-images, the upsert's old-version deletes and

@@ -334,6 +334,50 @@ def delete_scan_summary(
     return _with_encoded(spark, sf_dir, "dels", consume, salt_buckets, stripe_tokens)
 
 
+def wap_scan_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 8,
+    stripe_tokens: int = 2_000_000,
+) -> DataFrame:
+    """Write-audit-publish gate (branch-scoped writes + refs): encode →
+    create branch `audit` → `delete_where(n_tok 20..40, branch='audit')` —
+    CURRENT must still read EVERY row (the write landed on the branch
+    only; asserted in-gate) — audit the branch snapshot, then PUBLISH by
+    fast-forwarding CURRENT to the branch target. The oracle checks the
+    published survivors, so a branch write that leaks into main early, or
+    a publish that loses the branch's changes, flips the value hash."""
+    from . import deletes as _deletes
+    from .warehouse import Warehouse
+
+    def consume(wh):
+        w = Warehouse(wh)
+        n_total = decode_table(spark, wh, snapshot="wap").count()
+        w.set_ref("audit", "wap", kind="branch")
+        res = _deletes.delete_where(
+            spark, wh, ("n_tok", 20, 40), branch="audit"
+        )
+        if res["n_deleted"] <= 0:
+            raise AssertionError("branch delete matched no rows")
+        # isolation: main is untouched until publish
+        if w.current_snapshot_id() != "wap":
+            raise AssertionError("branch write moved CURRENT")
+        if decode_table(spark, wh).count() != n_total:
+            raise AssertionError("branch delete leaked into main")
+        # audit the branch, then publish (fast-forward CURRENT)
+        audited = decode_table(spark, wh, snapshot="audit")
+        n_branch = audited.count()
+        if n_branch != n_total - res["n_deleted"]:
+            raise AssertionError("branch read shows wrong survivor count")
+        w.rollback(w.resolve_snapshot("audit"))
+        published = decode_table(spark, wh)  # CURRENT now = audited state
+        if published.count() != n_branch:
+            raise AssertionError("publish lost the branch's changes")
+        return _checksum_summary(spark, published)
+
+    return _with_encoded(spark, sf_dir, "wap", consume, salt_buckets, stripe_tokens)
+
+
 def upsert_scan_summary(
     spark: SparkSession,
     sf_dir: str,
